@@ -1,0 +1,241 @@
+"""Flat-namespace experiment configuration.
+
+Behavioural parity with the reference config system (reference:
+src/util.py:315-438): two-level YAML files are flattened into a single
+attribute-accessible namespace, and CLI overrides are given as
+``--opts key value key value ...`` where values go through
+``ast.literal_eval`` and are type-coerced against the existing entry;
+unknown keys are rejected.
+
+Differences by design (TPU rebuild):
+
+* A Python-side defaults table (:func:`default_cfg`) supplies every knob the
+  framework understands, so YAML files only need to state what differs.
+* Extra TPU-specific keys (mesh shape, dtype policy, episode batch size).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+from ast import literal_eval
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+class Cfg(dict):
+    """dict with attribute access; flat (no nesting) by construction."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def clone(self) -> "Cfg":
+        return Cfg(copy.deepcopy(dict(self)))
+
+    def __str__(self) -> str:
+        return "\n".join(f"{k}: {v}" for k, v in sorted(self.items()))
+
+
+# ---------------------------------------------------------------------------
+# Defaults: every knob the framework understands, with the values the
+# reference ships in config_files/pascal.yaml (its most common base config).
+# YAML files and --opts override these.
+# ---------------------------------------------------------------------------
+
+_DEFAULTS: Dict[str, Any] = {
+    # ---- data ----
+    "train_name": "pascal",
+    "test_name": "default",
+    "train_split": 0,
+    "test_split": "default",
+    "train_list": "lists/pascal/train.txt",
+    "val_list": "lists/pascal/val.txt",
+    "data_root": "../dataset/VOCdevkit/VOC2012",
+    "num_classes_tr": 2,
+    "num_classes_val": 5,
+    "use_split_coco": False,
+    "workers": 2,
+    "image_size": 473,
+    "padding_label": 255,
+    "mean": [0.485, 0.456, 0.406],
+    "std": [0.229, 0.224, 0.225],
+    "scale_min": 0.5,
+    "scale_max": 2.0,
+    "rot_min": -10,
+    "rot_max": 10,
+    "augmentations": ["hor_flip", "vert_flip", "resize"],
+    "padding": None,           # 'avg' pads images with the dataset mean
+    "meta_aug": 0,             # >1 enables support meta-augmentation
+    "aug_th": [0.15, 0.30],
+    "aug_type": 0,
+    "synthetic_data": False,   # generate random episodes (tests / benches)
+    # ---- training ----
+    "ckpt_path": "checkpoints/",
+    "batch_size": 1,
+    "epochs": 50,
+    "log_freq": 50,
+    "debug": False,
+    "save_models": True,
+    "lr": 0.0025,
+    "cls_lr": 0.0025,
+    "trans_lr": 0.0025,
+    "scale_lr": 1.0,
+    "mixup": False,
+    "smoothing": True,
+    "lr_stepsize": 30,
+    "momentum": 0.9,
+    "gamma": 0.1,
+    "nesterov": True,
+    "weight_decay": 0.0001,
+    "main_optim": "SGD",
+    "scheduler": "cosine",
+    "milestones": [40, 70],
+    "iter_per_epoch": 6000,
+    "adapt_iter": 200,
+    "inner_loss_type": "wt_ce",
+    "loss_shot": "avg",        # k-shot loss aggregation: 'avg' | 'sum'
+    "use_amp": False,          # reference AMP flag; maps to bf16 compute here
+    "tp": 1.0,                 # Adapt_SegLoss weight exponent
+    # ---- model ----
+    "arch": "resnet",
+    "pretrained": False,
+    "bins": [1, 2, 3, 6],
+    "dropout": 0.1,
+    "m_scale": False,
+    "layers": 50,
+    "bottleneck_dim": 512,
+    "backbone_dim": 2048,
+    "heads": 1,
+    "resume_weights": "./pretrained_models/",
+    "model_dir": "model_ckpt",
+    "dist": "dot",             # classifier distance: 'dot' | 'cos' | 'cosN'
+    "cls_type": "oooo",
+    "inherit_base": False,
+    "rmid": None,              # return intermediate layers: e.g. 'l34', 'nr'
+    "all_lr": "l",             # which layers contribute every block
+    "temp": 20.0,              # attention temperature for matching heads
+    "att_wt": 0.5,             # attention blend weight (MMN/DeTr)
+    "conv4d": "red",           # 4D conv flavour: 'red' (center pivot) | 'cv4'
+    "trans_type": "cross_att", # train_att variant selector
+    "sf_att": False,           # DeTr self-attention branch
+    "cr_att": True,            # DeTr cross-attention branch
+    "red_dim": False,
+    "wa": False,
+    "agg": "cat",
+    "crm_type": "nc",          # train_match head: 'nc' | 'chm'
+    "ktype": "psi",            # CHM kernel sharing type
+    "att_type": "org",         # train_aug support stream selector
+    "exp_name": "exp",
+    # ---- evaluation ----
+    "shot": 1,
+    "random_shot": False,
+    "episodic": True,
+    "episodic_val": True,
+    "norm_feat": True,
+    "batch_size_val": 100,
+    "manual_seed": 2021,
+    "ckpt_used": "best",
+    "test_num": 1000,
+    "FB_param_noise": 0,
+    "n_runs": 1,
+    "save_oracle": False,
+    # ---- distributed / TPU ----
+    "gpus": [0],               # kept for CLI compat; ignored on TPU
+    "distributed": False,
+    "port": 0,
+    "mesh_shape": None,        # e.g. [8] or [4, 2]; None = all local devices
+    "mesh_axes": ["data"],
+    "episode_batch": 8,        # episodes vmapped per device step (eval)
+    "compute_dtype": "float32",  # 'float32' | 'bfloat16'
+    "param_dtype": "float32",
+}
+
+
+def default_cfg() -> Cfg:
+    return Cfg(copy.deepcopy(_DEFAULTS))
+
+
+def _flatten_yaml(tree: Dict[str, Any]) -> Dict[str, Any]:
+    """Flatten {SECTION: {key: val}} into {key: val}; plain keys pass through."""
+    flat: Dict[str, Any] = {}
+    for key, val in tree.items():
+        if isinstance(val, dict):
+            for k, v in val.items():
+                flat[k] = v
+        else:
+            flat[key] = val
+    return flat
+
+
+def load_cfg(file: str, with_defaults: bool = True) -> Cfg:
+    """Load a YAML config (sections flattened) on top of the defaults table."""
+    assert os.path.isfile(file) and file.endswith(".yaml"), (
+        f"{file} is not a yaml file"
+    )
+    with open(file, "r") as f:
+        tree = yaml.safe_load(f) or {}
+    flat = _flatten_yaml(tree)
+    cfg = default_cfg() if with_defaults else Cfg()
+    cfg.update(flat)
+    return cfg
+
+
+# Reference-compatible alias (reference: src/util.py:410).
+def load_cfg_from_cfg_file(file: str) -> Cfg:
+    return load_cfg(file)
+
+
+def _decode_value(v: Any) -> Any:
+    if not isinstance(v, str):
+        return v
+    try:
+        return literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+
+
+def _coerce(replacement: Any, original: Any, full_key: str) -> Any:
+    """Type-check an override against the current entry (reference: src/util.py:377)."""
+    if original is None or type(replacement) is type(original):
+        return replacement
+    casts = [(tuple, list), (list, tuple), (int, float)]
+    for from_type, to_type in casts:
+        if isinstance(replacement, from_type) and isinstance(original, to_type):
+            return to_type(replacement)
+    raise ValueError(
+        f"Type mismatch ({type(original)} vs. {type(replacement)}) with values "
+        f"({original} vs. {replacement}) for config key: {full_key}"
+    )
+
+
+def merge_cfg_from_list(cfg: Cfg, opts: List[str]) -> Cfg:
+    """Apply ``--opts key value key value ...`` overrides; unknown keys raise."""
+    new_cfg = cfg.clone()
+    assert len(opts) % 2 == 0, opts
+    for full_key, raw in zip(opts[0::2], opts[1::2]):
+        subkey = full_key.split(".")[-1]
+        assert subkey in cfg, f"Non-existent key: {full_key}"
+        value = _coerce(_decode_value(raw), cfg[subkey], full_key)
+        new_cfg[subkey] = value
+    return new_cfg
+
+
+def parse_args(description: str = "few_shot_seg_cwt_tpu",
+               argv: Optional[List[str]] = None) -> Cfg:
+    """CLI entry shared by all trainers: --config file.yaml --opts k v ..."""
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--config", type=str, required=True, help="config file")
+    parser.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args(argv)
+    cfg = load_cfg(args.config)
+    if args.opts:
+        cfg = merge_cfg_from_list(cfg, args.opts)
+    return cfg
