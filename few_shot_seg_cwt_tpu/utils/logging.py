@@ -1,0 +1,28 @@
+"""Tee logging: stdout + append to a log file (reference: src/util.py:81-90)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+_log_path: Optional[str] = None
+
+
+def log_to(path: Optional[str]) -> None:
+    """Set (or clear) the directory that receives log.txt appends."""
+    global _log_path
+    _log_path = path
+    if path is not None:
+        os.makedirs(path, exist_ok=True)
+
+
+def get_logger():
+    """Returns a print-like callable that also appends to <path>/log.txt."""
+
+    def log(obj, filename: str = "log.txt"):
+        print(obj, flush=True)
+        if _log_path is not None:
+            with open(os.path.join(_log_path, filename), "a") as f:
+                print(obj, file=f)
+
+    return log
