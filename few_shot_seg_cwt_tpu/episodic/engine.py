@@ -1,0 +1,207 @@
+"""Jit-compiled episodic engine: eval episodes and CWT meta-training steps.
+
+Orchestrates the stage-2 pipeline of the reference (src/train.py:166-288,
+src/test.py:103-254) as pure jitted functions:
+
+  backbone features (frozen)  ->  fused inner-loop classifier adaptation
+  ->  CWT weight update  ->  query prediction  ->  loss / IoU
+
+Episodes are a pytree batch with static shapes::
+
+    {"s_img":  (E, shot, H, W, 3) float32,   # support images (normalized)
+     "s_label":(E, shot, H, W)    int32,     # {0,1,255}; padded shots all-255
+     "q_img":  (E, H, W, 3)       float32,
+     "q_label":(E, H, W)          int32,
+     "cls":    (E,)               int32}     # episode class id (bookkeeping)
+
+Everything is vmapped over E and jitted once; sharding the E axis over a
+``Mesh`` data axis scales to multi-chip (see parallel.mesh). The reference's
+per-episode host syncs (numpy pixel counting, fresh torch modules, Python
+optimizer steps) have no equivalent here — one device program per batch.
+
+Faithfulness notes:
+* the reference extracts *support* features in train() mode during
+  meta-training (dropout active; src/train.py:219 runs before model.eval() at
+  :245) while query features use eval mode — replicated via the
+  ``support_dropout`` flag;
+* query features are L2-normalized over channels before both the CWT update
+  and the prediction (src/train.py:250,259; src/test.py:194-204);
+* the query CE uses per-episode dynamic weights [1, n_bg/(n_fg+1e-12)]
+  (src/train.py:237-243).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.cwt import build_cwt
+from ..models.pspnet import apply_classifier, build_pspnet, init_classifier_weights
+from ..ops.losses import class_balance_weights, weighted_cross_entropy
+from ..ops.metrics import intersection_and_union
+from ..ops.resize import upsample_bilinear_ac
+
+
+def l2_normalize_channels(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """F.normalize(dim=channel) over the trailing channel axis."""
+    norm = jnp.sqrt(jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+    return (x / jnp.maximum(norm, eps)).astype(x.dtype)
+
+
+class EpisodicEngine:
+    """Builds and caches the jitted episodic programs for a given config."""
+
+    def __init__(self, cfg, backbone=None, cwt=None):
+        self.cfg = cfg
+        self.backbone = backbone if backbone is not None else build_pspnet(cfg)
+        self.cwt = cwt if cwt is not None else build_cwt(cfg)
+        self.num_classes = cfg.num_classes_tr
+        self.adapt_iter = cfg.adapt_iter
+        self.cls_lr = cfg.cls_lr
+        self.image_size = cfg.image_size
+        self.bottleneck_dim = cfg.bottleneck_dim
+
+    # ------------------------------------------------------------------ #
+    # single-episode programs
+    # ------------------------------------------------------------------ #
+
+    def _episode_features(self, vars_b, episode, support_dropout=False, rng=None):
+        """One backbone pass over support+query: (shot+1, H, W, 3)."""
+        imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
+        if support_dropout and rng is not None:
+            feat, _ = self.backbone.apply(
+                vars_b, imgs, rngs={"dropout": rng},
+                method=_extract_support_dropout, mutable=False,
+            )
+        else:
+            feat, _ = self.backbone.apply(
+                vars_b, imgs, train=False,
+                method=self.backbone.extract_features, mutable=False,
+            )
+        f_s, f_q = feat[:-1], feat[-1:]
+        if support_dropout and rng is not None:
+            # query features must be deterministic: recompute without dropout
+            f_q, _ = self.backbone.apply(
+                vars_b, episode["q_img"][None], train=False,
+                method=self.backbone.extract_features, mutable=False,
+            )
+        return f_s, f_q
+
+    def eval_episode(self, vars_b, vars_t, episode, rng) -> Dict[str, jnp.ndarray]:
+        """Inner loop + CWT update + query logits (no grad), one episode."""
+        w0 = init_classifier_weights(rng, self.num_classes, self.bottleneck_dim)
+        return self.eval_episode_from_w0(vars_b, vars_t, episode, w0)
+
+    def eval_episode_from_w0(self, vars_b, vars_t, episode, w0) -> Dict[str, jnp.ndarray]:
+        """Same as eval_episode but with injected initial classifier weights."""
+        f_s, f_q = self._episode_features(vars_b, episode)
+        w = jax.lax.stop_gradient(
+            _adapt(f_s, episode["s_label"], w0, self.adapt_iter, self.cls_lr)
+        )
+        pred_q0 = apply_classifier(w, f_q)[0]          # (h, w, K) raw-classifier logits
+        f_qn = l2_normalize_channels(f_q)
+        w_upd = self.cwt.apply(vars_t, w[None], f_qn, f_qn, deterministic=True)[0]
+        pred_q = apply_classifier(w_upd, f_qn)[0]      # (h, w, K)
+        return {"pred_q": pred_q, "pred_q0": pred_q0, "cls": episode["cls"]}
+
+    def train_episode_loss(self, trans_params, vars_t_extra, vars_b, episode, rng):
+        """Per-episode transformer loss (support dropout + attn dropout live)."""
+        rng_drop_s, rng_w, rng_attn = jax.random.split(rng, 3)
+        f_s, f_q = self._episode_features(
+            vars_b, episode, support_dropout=True, rng=rng_drop_s
+        )
+        w0 = init_classifier_weights(rng_w, self.num_classes, self.bottleneck_dim)
+        w = jax.lax.stop_gradient(
+            _adapt(f_s, episode["s_label"], w0, self.adapt_iter, self.cls_lr)
+        )
+        pred_q0 = apply_classifier(w, f_q)[0]
+        f_qn = jax.lax.stop_gradient(l2_normalize_channels(f_q))
+
+        vars_t = dict(vars_t_extra)
+        vars_t["params"] = trans_params
+        w_upd = self.cwt.apply(
+            vars_t, w[None], f_qn, f_qn, deterministic=False,
+            rngs={"dropout": rng_attn},
+        )[0]
+        logits60 = apply_classifier(w_upd, f_qn)    # (1, h, w, K)
+        logits = upsample_bilinear_ac(
+            logits60, (self.image_size, self.image_size)
+        )[0]
+        q_label = episode["q_label"]
+        qw = class_balance_weights(q_label, num_classes=self.num_classes)
+        loss = weighted_cross_entropy(logits, q_label, qw)
+
+        # train metrics (fg/bg IoU of transformed and raw predictions)
+        inter, union, _ = intersection_and_union(
+            jnp.argmax(logits, -1), q_label, self.num_classes
+        )
+        logits0 = upsample_bilinear_ac(
+            pred_q0[None], (self.image_size, self.image_size)
+        )[0]
+        inter0, union0, _ = intersection_and_union(
+            jnp.argmax(logits0, -1), q_label, self.num_classes
+        )
+        metrics = {"inter": inter, "union": union, "inter0": inter0, "union0": union0}
+        return loss, metrics
+
+    # ------------------------------------------------------------------ #
+    # batched jitted programs
+    # ------------------------------------------------------------------ #
+
+    @functools.cached_property
+    def eval_batch(self):
+        """jit(vmap(eval_episode)): (vars_b, vars_t, batch, rngs(E,)) -> preds."""
+        fn = jax.vmap(self.eval_episode, in_axes=(None, None, 0, 0))
+        return jax.jit(fn)
+
+    def make_train_step(self, optimizer: optax.GradientTransformation):
+        """Returns jitted (trans_params, opt_state, vars_t_extra, vars_b, batch, rng)
+        -> (new_params, new_opt_state, metrics)."""
+
+        def batched_loss(trans_params, vars_t_extra, vars_b, batch, rngs):
+            losses, metrics = jax.vmap(
+                self.train_episode_loss, in_axes=(None, None, None, 0, 0)
+            )(trans_params, vars_t_extra, vars_b, batch, rngs)
+            return jnp.mean(losses), metrics
+
+        grad_fn = jax.value_and_grad(batched_loss, has_aux=True)
+
+        @jax.jit
+        def step(trans_params, opt_state, vars_t_extra, vars_b, batch, rng):
+            e = batch["q_label"].shape[0]
+            rngs = jax.random.split(rng, e)
+            (loss, metrics), grads = grad_fn(
+                trans_params, vars_t_extra, vars_b, batch, rngs
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, trans_params)
+            trans_params = optax.apply_updates(trans_params, updates)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return trans_params, opt_state, metrics
+
+        return step
+
+
+def _adapt(f_s, s_label, w0, num_steps, lr):
+    from .inner_loop import adapt_classifier
+
+    return adapt_classifier(f_s, s_label, w0, num_steps=num_steps, lr=lr)
+
+
+def _extract_support_dropout(mdl, imgs):
+    """Backbone features with bottleneck dropout active but BN in eval mode.
+
+    Mirrors the reference's model.train() support-feature extraction during
+    stage-2 meta-training (frozen backbone: dropout on, stats frozen).
+    """
+    x4, feats = mdl.trunk(imgs, train=False)
+    out = mdl.ppm(x4, train=False)
+    out = mdl.bottleneck_conv(out)
+    out = mdl.bottleneck_bn(out, use_running_average=True)
+    out = jax.nn.relu(out)
+    out = mdl.drop(out, deterministic=False)
+    return out, feats

@@ -1,0 +1,69 @@
+"""Fused episodic classifier adaptation — the framework's hottest loop.
+
+The reference runs 200 *Python-level* SGD steps per episode, each doing a
+conv1x1 -> bilinear-upsample-to-473 -> weighted CE -> backward -> step on a
+fresh binary classifier (reference: src/train.py:206-231, src/test.py:164-187,
+src/model/pspnet.py:189-205). That loop dominates episode latency.
+
+Here it is one ``jax.lax.scan`` over the (num_classes, C) weight matrix:
+
+* the backbone runs once outside the loop (same as the reference);
+* the conv1x1 is an einsum against the fixed (shot, h, w, C) support features;
+* the 473x473 upsample is the align_corners matmul pair (ops.resize), so the
+  entire step — forward, CE, gradient, SGD update — is a handful of MXU
+  contractions XLA fuses into one kernel sequence;
+* episodes batch via ``jax.vmap`` of the whole scan.
+
+Loss semantics match the reference exactly: CE is evaluated at *label*
+resolution after align_corners upsampling, with per-episode dynamic class
+weights [1, n_bg/n_fg] and ignore_index 255. Padded support shots are labeled
+255 everywhere, so they contribute neither to the weights nor the loss.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.losses import class_balance_weights, weighted_cross_entropy
+from ..ops.resize import upsample_bilinear_ac
+
+
+def support_loss(
+    w: jnp.ndarray,          # (K, C) classifier weights
+    f_s: jnp.ndarray,        # (shot, h, w, C) support features
+    s_label: jnp.ndarray,    # (shot, H, W) int labels in {0, 1, 255}
+    cls_weights: jnp.ndarray,  # (K,) CE class weights
+) -> jnp.ndarray:
+    logits = jnp.einsum(
+        "shwc,ck->shwk", f_s, w.T, preferred_element_type=jnp.float32
+    )
+    logits = upsample_bilinear_ac(logits, s_label.shape[-2:])
+    return weighted_cross_entropy(logits, s_label, cls_weights)
+
+
+def adapt_classifier(
+    f_s: jnp.ndarray,
+    s_label: jnp.ndarray,
+    w_init: jnp.ndarray,
+    num_steps: int = 200,
+    lr: float = 0.0025,
+    cls_weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Run the episodic inner loop; returns adapted (K, C) weights.
+
+    Plain SGD (no momentum), matching ``optim.SGD(cls.parameters(), lr=cls_lr)``
+    in the reference.
+    """
+    if cls_weights is None:
+        cls_weights = class_balance_weights(s_label, num_classes=w_init.shape[0])
+    grad_fn = jax.grad(support_loss)
+
+    def step(w, _):
+        g = grad_fn(w, f_s, s_label, cls_weights)
+        return w - lr * g, None
+
+    w, _ = jax.lax.scan(step, w_init, None, length=num_steps)
+    return w

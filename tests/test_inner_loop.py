@@ -1,0 +1,98 @@
+"""Inner-loop parity: the fused lax.scan adaptation vs a torch re-statement
+of the reference's per-episode classifier training (src/train.py:206-231)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from few_shot_seg_cwt_tpu.episodic import adapt_classifier
+from few_shot_seg_cwt_tpu.models import init_classifier_weights
+
+
+def torch_reference_inner_loop(f_s, s_label, w0, steps, lr):
+    """Independent torch implementation of the reference inner loop."""
+    shot, h, w, c = f_s.shape
+    big = s_label.shape[-1]
+    cls = nn.Conv2d(c, 2, kernel_size=1, bias=False)
+    with torch.no_grad():
+        cls.weight.copy_(torch.from_numpy(w0).reshape(2, c, 1, 1))
+    opt = torch.optim.SGD(cls.parameters(), lr=lr)
+    lbl = torch.from_numpy(s_label).long()
+    n_bg = float((lbl == 0).sum())
+    n_fg = float((lbl == 1).sum())
+    crit = nn.CrossEntropyLoss(weight=torch.tensor([1.0, n_bg / n_fg]), ignore_index=255)
+    feats = torch.from_numpy(f_s).permute(0, 3, 1, 2)
+    for _ in range(steps):
+        out = cls(feats)
+        out = F.interpolate(out, size=(big, big), mode="bilinear", align_corners=True)
+        loss = crit(out, lbl)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    return cls.weight.detach().numpy()[:, :, 0, 0]
+
+
+def _make_episode(rng, shot=2, h=6, big=25, c=16):
+    f_s = rng.standard_normal((shot, h, h, c)).astype(np.float32)
+    s_label = rng.integers(0, 2, size=(shot, big, big)).astype(np.int32)
+    s_label[0, :3, :] = 255
+    return f_s, s_label
+
+
+def test_adapted_weights_match_torch(rng):
+    f_s, s_label = _make_episode(rng)
+    w0 = np.asarray(init_classifier_weights(jax.random.PRNGKey(0), 2, 16))
+
+    got = np.asarray(
+        adapt_classifier(jnp.asarray(f_s), jnp.asarray(s_label), jnp.asarray(w0),
+                         num_steps=25, lr=0.1)
+    )
+    ref = torch_reference_inner_loop(f_s, s_label, w0, steps=25, lr=0.1)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_adaptation_reduces_support_loss(rng):
+    from few_shot_seg_cwt_tpu.episodic.inner_loop import support_loss
+    from few_shot_seg_cwt_tpu.ops.losses import class_balance_weights
+
+    f_s, _ = _make_episode(rng)
+    # learnable labels: thresholded channel-0 activation, upsampled to 25px
+    up = F.interpolate(torch.from_numpy(f_s[..., :1]).permute(0, 3, 1, 2),
+                       size=(25, 25), mode="bilinear", align_corners=True)
+    s_label = (up[:, 0] > 0).numpy().astype(np.int32)
+    w0 = init_classifier_weights(jax.random.PRNGKey(1), 2, 16)
+    cw = class_balance_weights(jnp.asarray(s_label))
+    before = float(support_loss(w0, jnp.asarray(f_s), jnp.asarray(s_label), cw))
+    w = adapt_classifier(jnp.asarray(f_s), jnp.asarray(s_label), w0, num_steps=50, lr=0.1)
+    after = float(support_loss(w, jnp.asarray(f_s), jnp.asarray(s_label), cw))
+    assert after < before * 0.9
+
+
+def test_padded_shots_are_no_ops(rng):
+    """All-255-labeled padding shots must not change the adapted weights."""
+    f_s, s_label = _make_episode(rng, shot=1)
+    w0 = init_classifier_weights(jax.random.PRNGKey(2), 2, 16)
+
+    w_plain = adapt_classifier(jnp.asarray(f_s), jnp.asarray(s_label), w0,
+                               num_steps=10, lr=0.1)
+
+    pad_f = np.concatenate([f_s, np.zeros_like(f_s)], axis=0)
+    pad_l = np.concatenate([s_label, np.full_like(s_label, 255)], axis=0)
+    w_padded = adapt_classifier(jnp.asarray(pad_f), jnp.asarray(pad_l), w0,
+                                num_steps=10, lr=0.1)
+    np.testing.assert_allclose(np.asarray(w_plain), np.asarray(w_padded), rtol=1e-6)
+
+
+def test_one_shot_duplication_equivalence(rng):
+    """The reference duplicates a 1-shot support to batch 2 (src/train.py:199-201);
+    with deterministic features this is a mathematical no-op — pin that."""
+    f_s, s_label = _make_episode(rng, shot=1)
+    w0 = init_classifier_weights(jax.random.PRNGKey(3), 2, 16)
+    w1 = adapt_classifier(jnp.asarray(f_s), jnp.asarray(s_label), w0, num_steps=10, lr=0.1)
+    f2 = np.concatenate([f_s, f_s], axis=0)
+    l2 = np.concatenate([s_label, s_label], axis=0)
+    w2 = adapt_classifier(jnp.asarray(f2), jnp.asarray(l2), w0, num_steps=10, lr=0.1)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-5, atol=1e-6)
