@@ -1,0 +1,134 @@
+"""Batched episode loading with background workers and device prefetch.
+
+Replaces the reference's torch DataLoader (reference:
+src/dataset/dataset.py:61-68, workers + pin_memory) with a thread-pool
+pipeline: cv2 decode/transform release the GIL, batches are collated into
+contiguous numpy arrays, and up to ``prefetch`` device batches are staged
+ahead with ``jax.device_put`` so the TPU never waits on the host.
+
+Episode order: training shuffles indices each epoch with a per-epoch seed;
+validation iterates sequentially and wraps around (the reference restarts an
+exhausted iterator mid-run, src/test.py:149-153).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import jax
+except Exception:  # pragma: no cover
+    jax = None
+
+
+def collate(records: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = records[0].keys()
+    return {k: np.stack([r[k] for r in records], axis=0) for k in keys}
+
+
+class EpisodeLoader:
+    """Iterable over collated episode batches.
+
+    Args:
+      dataset: index-addressable record source (EpisodicDataset, ...).
+      batch_size: episodes per batch (static shape; short tails dropped in
+        shuffle mode, wrapped in sequential mode).
+      shuffle: reshuffle each epoch (seeded).
+      num_workers: decode threads; 0 = synchronous.
+      device_put: stage collated batches onto the default device.
+      prefetch: number of batches prepared ahead.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 2, seed: int = 2021,
+                 device_put: bool = False, prefetch: int = 2,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.seed = seed
+        self.device_put = device_put and jax is not None
+        self.prefetch = max(1, prefetch)
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _index_stream(self) -> Iterator[int]:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(n)
+            yield from order.tolist()
+        else:
+            yield from range(n)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        idx_stream = self._index_stream()
+
+        def batches_of_indices():
+            while True:
+                chunk = list(itertools.islice(idx_stream, self.batch_size))
+                if len(chunk) < self.batch_size:
+                    if chunk and not self.drop_last:
+                        yield chunk
+                    return
+                yield chunk
+
+        if self.num_workers <= 0:
+            for chunk in batches_of_indices():
+                yield self._finalize([self.dataset[i] for i in chunk])
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in batches_of_indices():
+                        if stop.is_set():
+                            return
+                        records = list(pool.map(self.dataset.__getitem__, chunk))
+                        out_q.put(self._finalize(records))
+            except Exception as e:  # surface worker errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def _finalize(self, records: List[Dict[str, np.ndarray]]) -> Dict[str, Any]:
+        batch = collate(records)
+        if self.device_put:
+            batch = jax.device_put(batch)
+        return batch
+
+
+def infinite(loader: EpisodeLoader) -> Iterator[Dict[str, Any]]:
+    """Wrap-around iteration (validation semantics of the reference)."""
+    while True:
+        yield from loader
