@@ -148,9 +148,43 @@ class EpisodicEngine:
         metrics = {"inter": inter, "union": union, "inter0": inter0, "union0": union0}
         return loss, metrics
 
+    def eval_episode_metrics(self, vars_b, vars_t, episode, rng) -> Dict[str, jnp.ndarray]:
+        """eval_episode + on-device metrics (matches src/test.py:214-230).
+
+        Logits are upsampled to label resolution with align_corners bilinear
+        before argmax; per-class (intersection, union) is returned for both
+        the transformed (pred_q) and raw (pred_q0) classifiers, along with the
+        unweighted CE loss of the transformed prediction.
+        """
+        out = self.eval_episode(vars_b, vars_t, episode, rng)
+        q_label = episode["q_label"]
+        size = q_label.shape[-2:]
+        logits = upsample_bilinear_ac(out["pred_q"][None].astype(jnp.float32), size)[0]
+        logits0 = upsample_bilinear_ac(out["pred_q0"][None].astype(jnp.float32), size)[0]
+        inter, union, _ = intersection_and_union(
+            jnp.argmax(logits, -1), q_label, self.num_classes
+        )
+        inter0, union0, _ = intersection_and_union(
+            jnp.argmax(logits0, -1), q_label, self.num_classes
+        )
+        loss = weighted_cross_entropy(
+            logits, q_label, jnp.ones((self.num_classes,), jnp.float32)
+        )
+        return {
+            "inter": inter, "union": union,
+            "inter0": inter0, "union0": union0,
+            "loss": loss, "cls": episode["cls"],
+        }
+
     # ------------------------------------------------------------------ #
     # batched jitted programs
     # ------------------------------------------------------------------ #
+
+    @functools.cached_property
+    def eval_metrics_batch(self):
+        """jit(vmap(eval_episode_metrics)): only tiny metric arrays leave device."""
+        fn = jax.vmap(self.eval_episode_metrics, in_axes=(None, None, 0, 0))
+        return jax.jit(fn)
 
     @functools.cached_property
     def eval_batch(self):

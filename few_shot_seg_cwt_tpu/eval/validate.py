@@ -1,0 +1,157 @@
+"""Episodic evaluation loops (the protocol that defines all baselines).
+
+Parity with the reference (reference: src/test.py:103-254):
+``n_runs`` runs x ``test_num`` episodes; per-class foreground
+intersection/union accumulated over episodes (background never counted,
+src:227); per-class IoU = I/U; run mIoU = mean over classes; final score =
+mean over runs; wall-clock per run reported.
+
+Device/host split: episodes stream through the jitted
+``EpisodicEngine.eval_metrics_batch`` (inner loop + CWT + upsample + argmax +
+I/U all on device, sharded over the mesh data axis when one is given); only
+(E, num_classes) metric arrays and episode class ids reach the host, where the
+tiny per-class accumulation runs.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.loader import EpisodeLoader, infinite
+from ..parallel.mesh import shard_batch
+from ..utils.meters import AverageMeter
+
+
+def _episode_fields(batch: Dict) -> Dict:
+    return {k: batch[k] for k in ("s_img", "s_label", "q_img", "q_label", "cls")}
+
+
+def validate_transformer(
+    cfg,
+    engine,
+    vars_b,
+    vars_t,
+    loader: EpisodeLoader,
+    mesh=None,
+    log=print,
+) -> Tuple[float, float]:
+    """Full CWT evaluation; returns (mean mIoU over runs, mean loss)."""
+    test_num = cfg.test_num
+    e_batch = loader.batch_size
+    nb_batches = max(1, test_num // e_batch)
+    base_key = jax.random.PRNGKey(cfg.manual_seed if cfg.manual_seed is not None else 0)
+
+    run_mious = np.zeros(cfg.n_runs)
+    run_losses = np.zeros(cfg.n_runs)
+    runtimes = np.zeros(cfg.n_runs)
+
+    for run in range(cfg.n_runs):
+        cls_inter: Dict[int, float] = defaultdict(float)
+        cls_union: Dict[int, float] = defaultdict(float)
+        cls_inter0: Dict[int, float] = defaultdict(float)
+        cls_union0: Dict[int, float] = defaultdict(float)
+        loss_meter = AverageMeter()
+        stream = infinite(loader)
+        t_run = 0.0
+        seen = 0
+
+        for b in range(nb_batches):
+            batch = next(stream)
+            episodes = _episode_fields(batch)
+            if mesh is not None:
+                episodes = shard_batch(episodes, mesh)
+            rngs = jax.random.fold_in(base_key, run * 1_000_003 + b)
+            rngs = jax.random.split(rngs, e_batch)
+            t0 = time.time()
+            out = engine.eval_metrics_batch(vars_b, vars_t, episodes, rngs)
+            out = jax.tree.map(np.asarray, out)  # forces completion
+            t_run += time.time() - t0
+            seen += e_batch
+
+            for i in range(e_batch):
+                c = int(out["cls"][i])
+                # foreground channel only; background never enters the score
+                cls_inter[c] += float(out["inter"][i, 1])
+                cls_union[c] += float(out["union"][i, 1])
+                cls_inter0[c] += float(out["inter0"][i, 1])
+                cls_union0[c] += float(out["union0"][i, 1])
+            loss_meter.update(float(out["loss"].mean()), n=e_batch)
+
+            if seen % max(e_batch, 200 // e_batch * e_batch) == 0:
+                iou = {c: cls_inter[c] / (cls_union[c] + 1e-10) for c in cls_union}
+                iou0 = {c: cls_inter0[c] / (cls_union0[c] + 1e-10) for c in cls_union0}
+                log(
+                    f"Test: [{seen}/{test_num}] "
+                    f"mIoU {np.mean(list(iou.values())):.4f} "
+                    f"mIoU0 {np.mean(list(iou0.values())):.4f} "
+                    f"Loss {loss_meter.val:.4f} ({loss_meter.avg:.4f})"
+                )
+
+        iou = {c: cls_inter[c] / (cls_union[c] + 1e-10) for c in cls_union}
+        miou = float(np.mean(list(iou.values()))) if iou else 0.0
+        log(f"mIoU---Val result: mIoU {miou:.4f}.")
+        for c in sorted(cls_union):
+            log(f"Class {c} : {iou[c]:.4f}")
+        run_mious[run] = miou
+        run_losses[run] = loss_meter.avg
+        runtimes[run] = t_run
+
+    log(f"Average mIoU over {cfg.n_runs} runs --- {run_mious.mean():.4f}.")
+    log(f"Average runtime / run --- {runtimes.mean():.4f}.")
+    return float(run_mious.mean()), float(run_losses.mean())
+
+
+def episodic_validate(
+    cfg, engine, vars_b, loader: EpisodeLoader, mesh=None, log=print
+) -> Tuple[float, float]:
+    """No-transformer episodic eval (raw adapted classifier; pretrain QA).
+
+    Matches src/test.py:257-371: identical protocol but the prediction is the
+    inner-loop classifier's own query logits.
+    """
+    # reuse the transformer path with an identity CWT by scoring pred_q0
+    test_num = cfg.test_num
+    e_batch = loader.batch_size
+    nb_batches = max(1, test_num // e_batch)
+    base_key = jax.random.PRNGKey(cfg.manual_seed if cfg.manual_seed is not None else 0)
+
+    # dummy transformer variables: engine still needs some; build once
+    import jax.numpy as jnp
+
+    f = jnp.zeros((1, 2, cfg.bottleneck_dim), jnp.float32)
+    k = jnp.zeros((1, 4, 4, cfg.bottleneck_dim), jnp.float32)
+    vars_t = engine.cwt.init(jax.random.PRNGKey(0), f, k, k)
+
+    run_mious = np.zeros(cfg.n_runs)
+    run_losses = np.zeros(cfg.n_runs)
+    for run in range(cfg.n_runs):
+        cls_inter: Dict[int, float] = defaultdict(float)
+        cls_union: Dict[int, float] = defaultdict(float)
+        loss_meter = AverageMeter()
+        stream = infinite(loader)
+        for b in range(nb_batches):
+            batch = next(stream)
+            episodes = _episode_fields(batch)
+            if mesh is not None:
+                episodes = shard_batch(episodes, mesh)
+            rngs = jax.random.split(
+                jax.random.fold_in(base_key, run * 1_000_003 + b), e_batch
+            )
+            out = jax.tree.map(
+                np.asarray, engine.eval_metrics_batch(vars_b, vars_t, episodes, rngs)
+            )
+            for i in range(e_batch):
+                c = int(out["cls"][i])
+                cls_inter[c] += float(out["inter0"][i, 1])
+                cls_union[c] += float(out["union0"][i, 1])
+            loss_meter.update(float(out["loss"].mean()), n=e_batch)
+        iou = {c: cls_inter[c] / (cls_union[c] + 1e-10) for c in cls_union}
+        run_mious[run] = float(np.mean(list(iou.values()))) if iou else 0.0
+        run_losses[run] = loss_meter.avg
+        log(f"episodic_validate run {run}: mIoU {run_mious[run]:.4f}")
+    return float(run_mious.mean()), float(run_losses.mean())

@@ -116,14 +116,18 @@ def smoothed_cross_entropy(
     smoothing: float = 0.1,
     ignore_index: int = 255,
 ) -> jnp.ndarray:
-    """Label-smoothing CE used by stage-1 pretraining (src/pretrain.py:196-219).
+    """Label-smoothing CE used by stage-1 pretraining (src/pretrain.py:196-218).
 
-    one_hot * (1 - eps) + eps / num_classes, mean over valid pixels.
+    true class -> (1 - eps); every other class -> eps / (num_classes - 1);
+    ignored pixels (255) are scattered onto class 0 for the one-hot (like the
+    reference) but masked out of the mean.
     """
     valid = target != ignore_index
     tgt = jnp.where(valid, target, 0).astype(jnp.int32)
     onehot = jax.nn.one_hot(tgt, num_classes, dtype=jnp.float32)
-    smoothed = onehot * (1.0 - smoothing) + smoothing / num_classes
+    smoothed = onehot * (1.0 - smoothing) + (1.0 - onehot) * (
+        smoothing / max(num_classes - 1, 1)
+    )
     logp = _log_softmax(logits.astype(jnp.float32))
     loss_pix = -jnp.sum(smoothed * logp, axis=-1) * valid.astype(jnp.float32)
     return jnp.sum(loss_pix) / jnp.maximum(jnp.sum(valid), 1)

@@ -1,0 +1,127 @@
+"""Shared trainer plumbing: seeds, datasets, weight loading, mesh setup."""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.episodic import EpisodicDataset, StandardDataset
+from ..data.loader import EpisodeLoader
+from ..data.synthetic import SyntheticEpisodicDataset
+from ..parallel.mesh import make_mesh
+from ..utils.ckpt import import_pspnet, load_torch_checkpoint
+from ..utils.dirs import get_model_dir_trans
+
+
+def set_seeds(cfg) -> None:
+    if cfg.manual_seed is not None:
+        random.seed(cfg.manual_seed)
+        np.random.seed(cfg.manual_seed)
+
+
+def apply_debug(cfg) -> None:
+    """Shrink runs in debug mode (reference: src/train.py:295-299)."""
+    if cfg.debug:
+        cfg.test_num = min(cfg.test_num, 500)
+        cfg.epochs = min(cfg.epochs, 2)
+        cfg.n_runs = min(cfg.n_runs, 2)
+        cfg.save_models = False
+
+
+def maybe_mesh(cfg):
+    """Build a mesh when >1 device is visible (episode data parallelism)."""
+    if len(jax.devices()) > 1 or cfg.get("mesh_shape"):
+        return make_mesh(cfg.get("mesh_shape"), tuple(cfg.get("mesh_axes", ["data"])))
+    return None
+
+
+def episodic_dataset(cfg, train: bool):
+    if cfg.get("synthetic_data"):
+        n = cfg.iter_per_epoch if train else cfg.test_num
+        return SyntheticEpisodicDataset(cfg, length=max(n, 64),
+                                        seed=(1 if train else 2))
+    return EpisodicDataset(cfg, train=train)
+
+
+def episodic_loaders(cfg) -> Tuple[EpisodeLoader, EpisodeLoader]:
+    train_ds = episodic_dataset(cfg, train=True)
+    val_ds = episodic_dataset(cfg, train=False)
+    e = cfg.episode_batch
+    train_loader = EpisodeLoader(train_ds, batch_size=e, shuffle=True,
+                                 num_workers=cfg.workers, seed=cfg.manual_seed or 0)
+    val_loader = EpisodeLoader(val_ds, batch_size=e, shuffle=False,
+                               num_workers=cfg.workers)
+    return train_loader, val_loader
+
+
+def init_backbone(cfg, engine, rng: Optional[jax.Array] = None):
+    """Init backbone variables; overlay stage-1 torch weights if available.
+
+    Resume path schema matches the reference (src/train.py:57-59):
+    <resume_weights>/<train_name>/split=<s>/pspnet_<arch><layers>/best.pth.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.manual_seed or 0)
+    probe = jnp.zeros((1, 33, 33, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: engine.backbone.init({"params": rng}, probe, train=False)
+    )()
+    variables = jax.tree.map(np.asarray, variables)  # host-side, mutable copy
+
+    if cfg.resume_weights:
+        fname = os.path.join(
+            cfg.resume_weights, cfg.train_name,
+            f"split={cfg.train_split}",
+            f"pspnet_{cfg.arch}{cfg.layers}", "best.pth",
+        )
+        if os.path.isfile(fname):
+            print(f"=> loading weight '{fname}'")
+            sd = load_torch_checkpoint(fname)
+            imported = import_pspnet(
+                sd, arch=cfg.arch, skip_classifier=True, skip_gamma=True
+            )
+            variables = _overlay(variables, imported)
+            print(f"=> loaded weight '{fname}'")
+        else:
+            print(f"=> no weight found at '{fname}'")
+    return variables
+
+
+def _overlay(base, overlay):
+    """Deep-merge imported leaves into the initialized variable tree."""
+    import copy
+
+    out = copy.deepcopy(dict(base))
+
+    def merge(dst, src, path=()):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                node = dst.setdefault(k, {})
+                merge(node, v, path + (k,))
+            else:
+                if k in dst and np.shape(dst[k]) != np.shape(v):
+                    raise ValueError(
+                        f"shape mismatch at {'/'.join(path + (k,))}: "
+                        f"{np.shape(dst[k])} vs {np.shape(v)}"
+                    )
+                dst[k] = v
+
+    for coll, tree in overlay.items():
+        merge(out.setdefault(coll, {}), tree)
+    return out
+
+
+def init_cwt(cfg, engine, rng: Optional[jax.Array] = None):
+    rng = rng if rng is not None else jax.random.PRNGKey((cfg.manual_seed or 0) + 1)
+    d = cfg.bottleneck_dim
+    q = jnp.zeros((1, cfg.num_classes_tr, d), jnp.float32)
+    k = jnp.zeros((1, 4, 4, d), jnp.float32)
+    return jax.jit(lambda: engine.cwt.init(rng, q, k, k))()
+
+
+def trans_ckpt_dir(cfg) -> str:
+    return get_model_dir_trans(cfg)

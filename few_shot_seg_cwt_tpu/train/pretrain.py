@@ -1,0 +1,244 @@
+"""Stage-1 base-class pretraining of the PSPNet backbone.
+
+CLI-compatible re-design of the reference pretrainer (reference:
+src/pretrain.py):
+
+    python -m few_shot_seg_cwt_tpu.train.pretrain --config configs/pascal_pretrain.yaml
+
+Semantics preserved: two parameter groups (backbone at lr, PPM/bottleneck/
+classifier at lr*scale_lr, src:68-76); label-smoothing one-hot CE with
+eps/(C-1) off-mass (src:196-218); optional mixup (beta(0.2, 0.2), src:202-215);
+cosine schedule stepped per iteration (src:120-121); best-val-mIoU model
+selection with standard or episodic validation (src:79-80).
+
+TPU-native: the whole optimization step (forward with batch-stat BN, loss,
+grads for both groups, update) is one jitted program; batch-stat BN reduces
+over the device batch (pass a mesh to shard the batch for data-parallel
+pretraining — BN stats then reduce per shard, the JAX analogue of
+per-GPU BN; SyncBN-exact cross-shard stats are a config knob via axis_name).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import parse_args
+from ..data.episodic import StandardDataset
+from ..data.loader import EpisodeLoader
+from ..episodic.engine import EpisodicEngine
+from ..eval.validate import episodic_validate
+from ..models.pspnet import build_pspnet
+from ..ops.losses import cross_entropy, smoothed_cross_entropy
+from ..ops.metrics import intersection_and_union
+from ..utils.ckpt import save_ckpt
+from ..utils.meters import AverageMeter
+from .common import apply_debug, episodic_dataset, maybe_mesh, set_seeds
+from .optim import build_lr_schedule
+
+
+def param_group_optimizer(cfg, params, iters_per_epoch: int):
+    """Two-group SGD: trunk at lr, new modules at lr*scale_lr (both cosine)."""
+
+    def group(base_lr):
+        lr = build_lr_schedule(cfg, base_lr, iters_per_epoch)
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(learning_rate=lr, momentum=cfg.momentum, nesterov=cfg.nesterov),
+        )
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "backbone" if path[0].key == "trunk" else "new", params
+    )
+    return optax.multi_transform(
+        {"backbone": group(cfg.lr), "new": group(cfg.lr * cfg.scale_lr)}, labels
+    )
+
+
+def make_pretrain_step(model, optimizer, cfg):
+    num_classes = cfg.num_classes_tr
+    smoothing = 0.1 if cfg.smoothing else 0.0
+
+    def one_hot_ce(logits, target):
+        if smoothing > 0:
+            return smoothed_cross_entropy(logits, target, num_classes, smoothing)
+        return cross_entropy(logits, target)
+
+    def loss_fn(params, batch_stats, img, gt, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        rng_drop, rng_mix, rng_perm = jax.random.split(rng, 3)
+        if cfg.mixup:
+            lam = jax.random.beta(rng_mix, 0.2, 0.2)
+            perm = jax.random.permutation(rng_perm, img.shape[0])
+            mixed = lam * img + (1.0 - lam) * img[perm]
+            logits, mutated = model.apply(
+                variables, mixed, train=True,
+                rngs={"dropout": rng_drop}, mutable=["batch_stats"],
+            )
+            loss = lam * one_hot_ce(logits, gt) + (1.0 - lam) * one_hot_ce(logits, gt[perm])
+        else:
+            logits, mutated = model.apply(
+                variables, img, train=True,
+                rngs={"dropout": rng_drop}, mutable=["batch_stats"],
+            )
+            loss = one_hot_ce(logits, gt)
+        return loss, (mutated["batch_stats"], logits)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, img, gt, rng):
+        (loss, (new_stats, logits)), grads = grad_fn(params, batch_stats, img, gt, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        inter, union, tgt = intersection_and_union(
+            jnp.argmax(logits, -1), gt, num_classes
+        )
+        return params, new_stats, opt_state, {
+            "loss": loss, "inter": inter, "union": union, "target": tgt,
+        }
+
+    return step
+
+
+def standard_validate(cfg, model, params, batch_stats, loader, log=print
+                      ) -> Tuple[float, float]:
+    """Pixel mIoU over the val list at train-class indexing (src:222-249)."""
+
+    @jax.jit
+    def eval_batch(img, gt):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, img, train=False
+        )
+        inter, union, _ = intersection_and_union(
+            jnp.argmax(logits, -1), gt, cfg.num_classes_tr
+        )
+        return inter, union, cross_entropy(logits, gt)
+
+    inters = np.zeros(cfg.num_classes_tr)
+    unions = np.zeros(cfg.num_classes_tr)
+    loss_meter = AverageMeter()
+    for batch in loader:
+        inter, union, loss = jax.tree.map(
+            np.asarray, eval_batch(batch["img"], batch["label"])
+        )
+        inters += inter
+        unions += union
+        loss_meter.update(float(loss))
+    miou = float((inters / (unions + 1e-10)).mean())
+    acc = float(inters.sum() / max(unions.sum(), 1e-10))
+    log(f"Testing results: running loss {loss_meter.avg:.2f}, Acc {acc:.4f}, mIoU {miou:.4f}")
+    return miou, loss_meter.avg
+
+
+def main(cfg) -> float:
+    print(cfg)
+    set_seeds(cfg)
+    apply_debug(cfg)
+
+    model = build_pspnet(cfg)
+    probe = jnp.zeros((1, 33, 33, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(cfg.manual_seed or 0)}, probe, train=False
+        )
+    )()
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    if cfg.get("synthetic_data"):
+        from ..data.synthetic import SyntheticEpisodicDataset
+
+        class _Std:
+            def __init__(self, n):  # synthetic multi-class records
+                self.n = n
+                self.size = cfg.image_size
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                r = np.random.default_rng(7 * self.n + i)
+                img = r.normal(0, 0.5, (self.size, self.size, 3)).astype(np.float32)
+                lab = r.integers(0, cfg.num_classes_tr, (self.size, self.size)).astype(np.int32)
+                return {"img": img, "label": lab}
+
+        train_ds, val_ds = _Std(64), _Std(16)
+    else:
+        train_ds = StandardDataset(cfg, train=True)
+        val_ds = StandardDataset(cfg, train=False)
+
+    train_loader = EpisodeLoader(train_ds, batch_size=cfg.batch_size, shuffle=True,
+                                 num_workers=cfg.workers, seed=cfg.manual_seed or 0)
+    val_loader = EpisodeLoader(val_ds, batch_size=cfg.batch_size, shuffle=False,
+                               num_workers=cfg.workers, drop_last=False)
+
+    iters_per_epoch = len(train_loader)
+    optimizer = param_group_optimizer(cfg, params, iters_per_epoch)
+    opt_state = optimizer.init(params)
+    step = make_pretrain_step(model, optimizer, cfg)
+
+    sv_path = os.path.join(
+        "./results",
+        f"pretrain_{cfg.train_name}/{cfg.arch}{cfg.layers}/"
+        f"split{cfg.train_split}_shot{cfg.shot}/{cfg.exp_name}",
+    )
+    os.makedirs(sv_path, exist_ok=True)
+
+    key = jax.random.PRNGKey(cfg.manual_seed or 0)
+    max_val_miou = 0.0
+    print("==> Start training")
+    for epoch in range(cfg.epochs):
+        train_loader.set_epoch(epoch)
+        loss_meter = AverageMeter()
+        t0 = time.time()
+        for i, batch in enumerate(train_loader, start=1):
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, metrics = step(
+                params, batch_stats, opt_state, batch["img"], batch["label"], sub
+            )
+            if i % cfg.log_freq == 0:
+                m = jax.tree.map(np.asarray, metrics)
+                miou = float((m["inter"] / (m["union"] + 1e-10)).mean())
+                loss_meter.update(float(m["loss"]))
+                print(f"iter {i}/{epoch}: loss {float(m['loss']):.2f}, "
+                      f"running loss {loss_meter.avg:.2f}, mIoU {miou:.4f}")
+        print(f"===== Epoch {epoch}: running loss {loss_meter.avg:.2f} "
+              f"({time.time() - t0:.1f}s) =====")
+
+        if cfg.get("episodic_val", False):
+            engine = EpisodicEngine(cfg)
+            ep_loader = EpisodeLoader(
+                episodic_dataset(cfg, train=False), batch_size=cfg.episode_batch,
+                shuffle=False, num_workers=cfg.workers,
+            )
+            val_miou, _ = episodic_validate(
+                cfg, engine, {"params": params, "batch_stats": batch_stats}, ep_loader
+            )
+        else:
+            val_miou, _ = standard_validate(cfg, model, params, batch_stats, val_loader)
+
+        if val_miou > max_val_miou:
+            max_val_miou = val_miou
+            if cfg.save_models:
+                path = os.path.join(sv_path, "best.ckpt")
+                print(f"=> Max_mIoU = {max_val_miou:.3f}, saving to {path}")
+                save_ckpt(path, jax.tree.map(
+                    np.asarray, {"params": params, "batch_stats": batch_stats}
+                ))
+
+    if cfg.save_models:
+        save_ckpt(os.path.join(sv_path, "final.ckpt"), jax.tree.map(
+            np.asarray, {"params": params, "batch_stats": batch_stats}
+        ))
+    return max_val_miou
+
+
+if __name__ == "__main__":
+    main(parse_args("Stage-1 base pretraining (TPU)"))

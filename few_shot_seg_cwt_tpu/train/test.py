@@ -1,0 +1,87 @@
+"""Evaluation entry point (mIoU over n_runs x test_num episodes).
+
+CLI-compatible re-design of the reference eval (reference: src/test.py):
+
+    python -m few_shot_seg_cwt_tpu.train.test --config configs/pascal.yaml \
+        --opts shot 1 cls_lr 0.1 test_num 1000 n_runs 5
+
+Backbone weights load from ``resume_weights`` (torch .pth importer);
+transformer weights from ``<model_dir schema>/<ckpt_used>.ckpt`` (orbax) or a
+reference ``.pth`` via the importer. Without any checkpoint it evaluates a
+random-init transformer (plumbing mode), like the reference's
+"Not loading anything" branch (src/test.py:91).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from ..config import parse_args
+from ..episodic.engine import EpisodicEngine
+from ..eval.validate import validate_transformer
+from ..utils.ckpt import import_cwt, load_ckpt, load_torch_checkpoint, import_pspnet
+from .common import (
+    apply_debug,
+    episodic_dataset,
+    init_backbone,
+    init_cwt,
+    maybe_mesh,
+    set_seeds,
+    trans_ckpt_dir,
+)
+from ..data.loader import EpisodeLoader
+
+
+def load_transformer(cfg, engine, vars_t_init):
+    root = trans_ckpt_dir(cfg)
+    if cfg.ckpt_used is None:
+        print("=> Not loading anything")
+        return vars_t_init
+    for ext, loader in ((".ckpt", "orbax"), (".pth", "torch")):
+        path = os.path.join(root, f"{cfg.ckpt_used}{ext}")
+        if os.path.exists(path):
+            print(f"=> loading transformer weight '{path}'")
+            if loader == "orbax":
+                return load_ckpt(path, like=jax.tree.map(np.asarray, vars_t_init))
+            return import_cwt(load_torch_checkpoint(path))
+    print(f"=> no transformer ckpt under '{root}', evaluating random init")
+    return vars_t_init
+
+
+def main(cfg) -> float:
+    set_seeds(cfg)
+    apply_debug(cfg)
+
+    # test-time resume_weights may point directly at a .pth file (scripts/test.sh)
+    engine = EpisodicEngine(cfg)
+    mesh = maybe_mesh(cfg)
+
+    if cfg.resume_weights and os.path.isfile(str(cfg.resume_weights)):
+        probe_cfg = cfg
+        vars_b = init_backbone(
+            type(cfg)({**cfg, "resume_weights": None}), engine
+        )
+        sd = load_torch_checkpoint(cfg.resume_weights)
+        from .common import _overlay
+
+        vars_b = _overlay(
+            vars_b, import_pspnet(sd, arch=cfg.arch, skip_classifier=True)
+        )
+        print(f"=> loaded weight '{cfg.resume_weights}'")
+    else:
+        vars_b = init_backbone(cfg, engine)
+
+    vars_t = load_transformer(cfg, engine, init_cwt(cfg, engine))
+
+    val_ds = episodic_dataset(cfg, train=False)
+    val_loader = EpisodeLoader(val_ds, batch_size=cfg.episode_batch,
+                               shuffle=False, num_workers=cfg.workers)
+    miou, loss = validate_transformer(cfg, engine, vars_b, vars_t, val_loader, mesh=mesh)
+    return miou
+
+
+if __name__ == "__main__":
+    main(parse_args("Testing (TPU)"))

@@ -1,0 +1,140 @@
+"""Stage-2 CWT meta-training (the paper's trainer).
+
+CLI-compatible re-design of the reference trainer (reference: src/train.py):
+
+    python -m few_shot_seg_cwt_tpu.train.train_cwt --config configs/pascal.yaml \
+        --opts shot 1 train_split 0 [synthetic_data True debug True]
+
+Differences by design:
+* the whole episode step (backbone -> fused inner loop -> CWT -> loss ->
+  transformer SGD update) is ONE jitted program, vmapped over
+  ``episode_batch`` episodes (the reference is locked to batch_size 1 with
+  ~203 Python-level backward passes per episode);
+* multi-chip: the episode batch is sharded over the mesh data axis — this
+  subsumes the reference's separate DDP trainer (src/train_ddp.py);
+* checkpoints are orbax trees (best.ckpt / final.ckpt under the reference's
+  directory schema).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+import optax
+
+from ..config import parse_args
+from ..episodic.engine import EpisodicEngine
+from ..eval.validate import validate_transformer
+from ..parallel.mesh import shard_batch
+from ..utils.ckpt import save_ckpt
+from ..utils.meters import AverageMeter
+from .common import (
+    apply_debug,
+    episodic_loaders,
+    init_backbone,
+    init_cwt,
+    maybe_mesh,
+    set_seeds,
+    trans_ckpt_dir,
+)
+from .optim import build_optimizer
+
+
+def main(cfg) -> float:
+    print(cfg)
+    set_seeds(cfg)
+    apply_debug(cfg)
+
+    engine = EpisodicEngine(cfg)
+    mesh = maybe_mesh(cfg)
+
+    vars_b = init_backbone(cfg, engine)
+    vars_t = init_cwt(cfg, engine)
+    trans_params = vars_t["params"]
+    vars_t_extra = {k: v for k, v in vars_t.items() if k != "params"}
+
+    # reference: get_optimizer(args, [dict(params=..., lr=trans_lr*scale_lr)]),
+    # no scheduler in stage-2 (src/train.py:98)
+    optimizer = build_optimizer(cfg, base_lr=cfg.trans_lr * cfg.scale_lr,
+                                use_schedule=False)
+    opt_state = optimizer.init(trans_params)
+    train_step = engine.make_train_step(optimizer)
+
+    train_loader, val_loader = episodic_loaders(cfg)
+    save_dir = trans_ckpt_dir(cfg)
+
+    iter_per_epoch = 5 * cfg.episode_batch if cfg.debug else min(
+        cfg.iter_per_epoch, len(train_loader.dataset)
+    )
+    steps_per_epoch = max(1, iter_per_epoch // cfg.episode_batch)
+
+    key = jax.random.PRNGKey(cfg.manual_seed or 0)
+    max_val_miou = 0.0
+
+    print("==> Start training")
+    for epoch in range(cfg.epochs):
+        train_loader.set_epoch(epoch)
+        it = iter(train_loader)
+        loss_meter = AverageMeter()
+        iou_meter = AverageMeter()
+        iou0_meter = AverageMeter()
+        t0 = time.time()
+
+        for i in range(steps_per_epoch):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(train_loader)
+                batch = next(it)
+            episodes = {k: batch[k] for k in ("s_img", "s_label", "q_img", "q_label", "cls")}
+            if mesh is not None:
+                episodes = shard_batch(episodes, mesh)
+            key, sub = jax.random.split(key)
+            trans_params, opt_state, metrics = train_step(
+                trans_params, opt_state, vars_t_extra, vars_b, episodes, sub
+            )
+
+            if (epoch == 0 and i % 100 == 0) or i % 500 == 0:
+                m = jax.tree.map(np.asarray, metrics)
+                iou = (m["inter"] / (m["union"] + 1e-10)).mean()
+                iou0 = (m["inter0"] / (m["union0"] + 1e-10)).mean()
+                loss_meter.update(float(m["loss"]))
+                iou_meter.update(float(iou))
+                iou0_meter.update(float(iou0))
+                print(
+                    f"iter {i * cfg.episode_batch} loss {float(m['loss']):.4f} "
+                    f"mIoU {iou:.3f} mIoU0 {iou0:.3f}"
+                )
+
+        print(
+            f"Epoch {epoch + 1}: mIoU {iou_meter.avg:.3f}, loss {loss_meter.avg:.3f}, "
+            f"mIoU0 {iou0_meter.avg:.3f} ({time.time() - t0:.1f}s)"
+        )
+
+        vars_t_now = dict(vars_t_extra)
+        vars_t_now["params"] = trans_params
+        val_miou, val_loss = validate_transformer(
+            cfg, engine, vars_b, vars_t_now, val_loader, mesh=mesh
+        )
+
+        if val_miou > max_val_miou:
+            max_val_miou = val_miou
+            if cfg.save_models:
+                path = os.path.join(save_dir, "best.ckpt")
+                print(f"Saving checkpoint to: {path}")
+                save_ckpt(path, jax.tree.map(np.asarray, vars_t_now))
+        print(f"=> Max_mIoU = {max_val_miou:.3f}")
+
+    if cfg.save_models:
+        vars_t_now = dict(vars_t_extra)
+        vars_t_now["params"] = trans_params
+        save_ckpt(os.path.join(save_dir, "final.ckpt"),
+                  jax.tree.map(np.asarray, vars_t_now))
+    return max_val_miou
+
+
+if __name__ == "__main__":
+    main(parse_args("Training classifier weight transformer (TPU)"))

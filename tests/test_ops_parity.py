@@ -112,7 +112,8 @@ def test_smoothed_ce_value(rng):
     got = float(smoothed_cross_entropy(jnp.asarray(logits), jnp.asarray(target), 3, smoothing=0.1))
     lt = torch.from_numpy(logits)
     onehot = torch.nn.functional.one_hot(torch.from_numpy(target), 3).float()
-    smoothed = onehot * 0.9 + 0.1 / 3
+    # reference smoothing (src/pretrain.py:198): eps/(C-1) on the off-classes
+    smoothed = onehot * 0.9 + (1 - onehot) * (0.1 / 2)
     logp = torch.log_softmax(lt, dim=-1)
     ref = (-(smoothed * logp).sum(-1)).mean().item()
     assert abs(got - ref) < 1e-5
