@@ -11,6 +11,15 @@ from .pspnet import (
     parse_cls_type,
 )
 from .cwt import MultiHeadAttentionOne, build_cwt
+from .conv4d import CenterPivotConv4d, Conv4d, conv4d
+from .matching import MatchNet, NeighConsensus, SpatialContextEncoder
+from .mmn import MMN, build_mmn
+from .msm import MSBlock, WeightAverage
+from .chm import CHM4d, CHM6d, CHMLearner
+from .deform import DeformAtt, MSDeformAttn, grid_sample_bilinear, sine_positional_encoding
+from .detr import DeTr, build_detr
+from .att_zoo import CrossAttention, MHA, AttentionBlock, LinearDiag, build_attention_variant
+from .fusion import DynamicFusion, FuseNet, FuseNet1
 
 __all__ = [
     "DilatedResNet",

@@ -1,0 +1,206 @@
+"""Neighbourhood-consensus matching heads (flax).
+
+Re-design of the reference matching stack (reference: src/model/match.py):
+
+* ``NeighConsensus`` (src:56-85): stack of 4D convs + ReLU, optionally run
+  symmetrically (f(x) + swap(f(swap(x)))) over the query/support planes;
+* ``MatchNet`` (src:88-183): cosine correlation -> mutual matching -> 4D
+  filtering -> mutual matching -> temperature softmax readout of support
+  values, with optional ignore masks and cycle-consistency masking;
+* ``SpatialContextEncoder`` (src/model/base/spatial_context.py): the
+  reference computes local self-similarity with an O(h*w) Python loop; here
+  it is one full correlation matmul plus a static-index window gather.
+
+Correlation volumes are channels-last (B, h, w, h_s, w_s, C).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.corr import get_corr, l2norm, mutual_matching
+from .conv4d import CenterPivotConv4d, Conv4d
+
+CONV4D = {"red": CenterPivotConv4d, "cv4": Conv4d}
+
+
+def _swap_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """Swap query and support planes of (B, h, w, hs, ws, C)."""
+    return x.transpose(0, 3, 4, 1, 2, 5)
+
+
+class NeighConsensus(nn.Module):
+    kernel_sizes: Sequence[int] = (3, 3, 3)
+    channels: Sequence[int] = (10, 10, 1)
+    symmetric_mode: bool = True
+    conv: str = "red"
+
+    def setup(self):
+        blocks = []
+        for i, (ksz, ch) in enumerate(zip(self.kernel_sizes, self.channels)):
+            cls = CONV4D[self.conv]
+            kwargs = dict(out_channels=ch, kernel_size=(ksz,) * 4,
+                          padding=(1,) * 4, use_bias=True, name=f"conv4d_{i}")
+            if cls is CenterPivotConv4d:
+                kwargs["stride"] = (1,) * 4
+            blocks.append(cls(**kwargs))
+        self.blocks = blocks
+
+    def _stack(self, x: jnp.ndarray) -> jnp.ndarray:
+        for blk in self.blocks:
+            x = nn.relu(blk(x))
+        return x
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.symmetric_mode:
+            return self._stack(x) + _swap_planes(self._stack(_swap_planes(x)))
+        return self._stack(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _window_gather_indices(h: int, w: int, ksz: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(hw, ksz*ksz) flat indices into an (hw,) axis + validity mask."""
+    pad = ksz // 2
+    idx = np.zeros((h * w, ksz * ksz), np.int32)
+    valid = np.zeros((h * w, ksz * ksz), bool)
+    for i in range(h):
+        for j in range(w):
+            n = i * w + j
+            t = 0
+            for di in range(-pad, pad + 1):
+                for dj in range(-pad, pad + 1):
+                    ii, jj = i + di, j + dj
+                    ok = 0 <= ii < h and 0 <= jj < w
+                    idx[n, t] = (ii * w + jj) if ok else 0
+                    valid[n, t] = ok
+                    t += 1
+    return idx, valid
+
+
+def spatial_descriptor(x: jnp.ndarray, ksz: int) -> jnp.ndarray:
+    """Local self-similarity: (B, h, w, C) -> (B, h, w, ksz*ksz).
+
+    Equivalent to the reference's per-pixel loop (spatial_context.py:13-60)
+    — descriptor[n, t] = <x[n], x[neighbor_t(n)]> with zero padding —
+    computed as one Gram matmul + static window gather.
+    """
+    b, h, w, c = x.shape
+    flat = x.reshape(b, h * w, c)
+    gram = jnp.einsum("bnc,bmc->bnm", flat, flat, preferred_element_type=jnp.float32)
+    idx, valid = _window_gather_indices(h, w, ksz)
+    gathered = jnp.take_along_axis(
+        gram, jnp.asarray(idx)[None].repeat(b, 0), axis=2
+    )
+    gathered = jnp.where(jnp.asarray(valid)[None], gathered, 0.0)
+    return gathered.reshape(b, h, w, ksz * ksz)
+
+
+class SpatialContextEncoder(nn.Module):
+    kernel_size: int = 25
+    hidden_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gs = spatial_descriptor(x, self.kernel_size)
+        gs = gs / jnp.sqrt(jnp.sum(gs**2, axis=-1, keepdims=True) + 1e-6)
+        cat = jnp.concatenate([x, gs], axis=-1)
+        out = nn.Conv(self.hidden_dim, (1, 1), name="embed")(cat)
+        return nn.relu(out)
+
+
+class MatchNet(nn.Module):
+    """Correlation filtering + attention readout head."""
+
+    temp: float = 3.0
+    cv_type: str = "red"
+    in_channel: int = 1
+    sce: bool = False
+    cyc: bool = False
+    sym_mode: bool = True
+    cv_kernels: Sequence[int] = (3, 3, 3)
+    cv_channels: Sequence[int] = (10, 10, 1)
+    ass_drop: float = 0.1
+
+    def setup(self):
+        if self.sce:
+            ksz = 25
+            self.sce_encoder = SpatialContextEncoder(
+                kernel_size=ksz, hidden_dim=2048, name="sce"
+            )
+        self.consensus = NeighConsensus(
+            kernel_sizes=tuple(self.cv_kernels), channels=tuple(self.cv_channels),
+            symmetric_mode=self.sym_mode, conv=self.cv_type, name="ncons",
+        )
+
+    def run_match_model(self, corr4d: jnp.ndarray) -> jnp.ndarray:
+        corr4d = mutual_matching(corr4d)
+        corr4d = self.consensus(corr4d)
+        corr4d = mutual_matching(corr4d)
+        return corr4d
+
+    def __call__(
+        self,
+        fq_fea: jnp.ndarray,      # (B, h, w, C) query features
+        fs_fea: jnp.ndarray,      # (B, h, w, C) support features
+        v: jnp.ndarray,           # (B, h, w, Cv) or (B, N_s, Cv) support values
+        s_mask: Optional[jnp.ndarray] = None,
+        ig_mask: Optional[jnp.ndarray] = None,
+        use_cyc: bool = False,
+        deterministic: bool = True,
+        ret_corr: bool = False,
+    ):
+        b, h, w, _ = fq_fea.shape
+        fq = l2norm(fq_fea, axis=-1)
+        fs = l2norm(fs_fea, axis=-1)
+        if self.sce:
+            fq = self.sce_encoder(fq)
+            fs = self.sce_encoder(fs)
+        corr = get_corr(fq, fs).reshape(b, h, w, h, w, 1)
+        corr4d = self.run_match_model(corr)[..., 0]
+        corr2d = corr4d.reshape(b, h * w, h * w)
+
+        if ig_mask is not None:
+            corr2d = jnp.where(ig_mask[:, None, :], 1e-4, corr2d)
+        if self.cyc and use_cyc:
+            inconsistent = self.run_cyc(corr2d, s_mask, deterministic)
+            corr2d = corr2d + inconsistent[:, None, :] * (-1000.0)
+
+        weighted_v = self._readout(corr2d, v, h, w)
+        if ret_corr:
+            return weighted_v, corr2d.reshape(b, h, w, h, w)
+        return weighted_v
+
+    def corr_forward(self, corr4d: jnp.ndarray, v: jnp.ndarray, ret_attn: bool = False):
+        """Filter a pre-built multi-channel volume (B, h, w, hs, ws, L)."""
+        b, h, w, hs, ws, ch = corr4d.shape
+        assert ch == self.in_channel, (ch, self.in_channel)
+        corr4d = self.run_match_model(corr4d)[..., 0]
+        corr2d = corr4d.reshape(b, h * w, hs * ws)
+        weighted_v = self._readout(corr2d, v, h, w)
+        if ret_attn:
+            return corr2d, weighted_v
+        return weighted_v
+
+    def _readout(self, corr2d, v, h, w):
+        if v.ndim == 4:
+            v = v.reshape(v.shape[0], -1, v.shape[-1])
+        attn = jax.nn.softmax(corr2d * self.temp, axis=-1)
+        out = jnp.einsum("bqs,bsc->bqc", attn, v, preferred_element_type=jnp.float32)
+        return out.reshape(v.shape[0], h, w, v.shape[-1])
+
+    def run_cyc(self, corr2d, s_mask, deterministic):
+        """Cycle-consistency mask: 1.0 where support->query->support flips label."""
+        b, n_q, n_s = corr2d.shape
+        s_mask = s_mask.reshape(b, n_s)
+        k2q = jnp.argmax(corr2d, axis=1)   # (B, n_s) best query per support px
+        q2k = jnp.argmax(corr2d, axis=2)   # (B, n_q) best support per query px
+        remap = jnp.take_along_axis(q2k, k2q, axis=1)         # support -> support
+        remap_mask = jnp.take_along_axis(s_mask, remap, axis=1)
+        inconsistent = (s_mask != remap_mask).astype(jnp.float32)
+        return nn.Dropout(rate=self.ass_drop)(inconsistent, deterministic=deterministic)

@@ -185,6 +185,65 @@ def import_pspnet_vgg(state_dict: Mapping[str, Any], **kw) -> Dict[str, Dict]:
     return import_pspnet(state_dict, arch="vgg", **kw)
 
 
+def _import_conv2d(params: Dict, flax_path: Tuple[str, ...], torch_prefix: str,
+                   sd: Mapping[str, Any]) -> None:
+    _set(params, flax_path + ("kernel",), _conv_kernel(sd[torch_prefix + ".weight"]))
+    if torch_prefix + ".bias" in sd:
+        _set(params, flax_path + ("bias",), _np(sd[torch_prefix + ".bias"]))
+
+
+def _import_matchnet_into(params: Dict, sd: Mapping[str, Any], src_prefix: str,
+                          dst: Tuple[str, ...]) -> None:
+    """Map a reference MatchNet subtree (NeighConsensus + optional SCE)."""
+    for key in sd:
+        if not key.startswith(src_prefix):
+            continue
+        rel = key[len(src_prefix):]
+        parts = rel.split(".")
+        if parts[0] == "NeighConsensus" and parts[1] == "conv":
+            i = int(parts[2]) // 2  # Sequential interleaves ReLU
+            if parts[3] in ("conv1", "conv2"):  # CenterPivotConv4d
+                sub = "conv_query" if parts[3] == "conv1" else "conv_support"
+                if parts[4] == "weight":
+                    _set(params, dst + (f"conv4d_{i}", sub, "kernel"),
+                         _conv_kernel(sd[key]))
+                else:
+                    _set(params, dst + (f"conv4d_{i}", sub, "bias"), _np(sd[key]))
+            elif parts[3] == "weight":  # true Conv4d, pre-permuted (k0,O,I,k1,k2,k3)
+                w = _np(sd[key]).transpose(0, 3, 4, 5, 2, 1)  # -> (k0,k1,k2,k3,I,O)
+                _set(params, dst + (f"conv4d_{i}", "kernel"), w)
+            elif parts[3] == "bias":
+                _set(params, dst + (f"conv4d_{i}", "bias"), _np(sd[key]))
+        elif parts[0] == "SpatialContextEncoder" and parts[1] == "embeddingFea":
+            if parts[3] == "weight":
+                _set(params, dst[:-1] + ("sce", "embed", "kernel"),
+                     _conv_kernel(sd[key]))
+            else:
+                _set(params, dst[:-1] + ("sce", "embed", "bias"), _np(sd[key]))
+
+
+def import_matchnet(state_dict: Mapping[str, Any]) -> Dict[str, Dict]:
+    """Reference MatchNet state_dict -> flax MatchNet variables."""
+    sd = strip_module_prefix(state_dict)
+    params: Dict[str, Any] = {}
+    _import_matchnet_into(params, sd, "", ("ncons",))
+    return {"params": params}
+
+
+def import_mmn(state_dict: Mapping[str, Any]) -> Dict[str, Dict]:
+    """Reference MMN state_dict -> flax MMN variables."""
+    sd = strip_module_prefix(state_dict)
+    params: Dict[str, Any] = {}
+    _import_matchnet_into(params, sd, "corr_net.", ("corr_net", "ncons"))
+    for key in sd:
+        parts = key.split(".")
+        if parts[0].startswith("rd_") and parts[1] == "0":
+            _import_conv2d(params, (parts[0],), ".".join(parts[:2]), sd)
+        elif parts[0].startswith("wa_") and parts[1].startswith("conv_"):
+            _import_conv2d(params, (parts[0], parts[1]), ".".join(parts[:2]), sd)
+    return {"params": params}
+
+
 def import_cwt(state_dict: Mapping[str, Any]) -> Dict[str, Dict]:
     """Map a reference MultiHeadAttentionOne state_dict to flax params."""
     sd = strip_module_prefix(state_dict)
