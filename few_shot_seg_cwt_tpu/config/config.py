@@ -134,6 +134,23 @@ _DEFAULTS: Dict[str, Any] = {
     "ktype": "psi",            # CHM kernel sharing type
     "att_type": "org",         # train_aug support stream selector
     "exp_name": "exp",
+    "head": "mmn",             # train_head head selector
+    "reduce_dim": 512,         # DeTr feature reduction
+    "loss_type": "wt_ce",      # head trainer query loss (SegLoss dispatcher)
+    "aux": False,              # aux loss weight (False = off)
+    "sce": False,              # MatchNet spatial context encoder
+    "cyc": False,              # MatchNet cycle-consistency mask
+    "drop": False,             # DeTr adjust-feature dropout
+    "matchnet_ckpt": None,     # frozen MatchNet for train_fuse
+    "ln": None,                # CrossAttention layer norms
+    "fv": None,                # CrossAttention value projection
+    "fc": None,                # CrossAttention output projection
+    "att_temp": None,          # CrossAttention temperature override
+    "trans_vn": False,         # value normalization in attention variants
+    "ld_mode": "l",            # LinearDiag mode for AttentionBlock
+    "scale_att": "sc",         # learnable attention scale flag
+    "att_drop": 0.0,           # WeightAverage attention dropout
+    "proj_drop": 0.0,          # WeightAverage projection dropout
     # ---- evaluation ----
     "shot": 1,
     "random_shot": False,
@@ -205,6 +222,9 @@ def _decode_value(v: Any) -> Any:
 def _coerce(replacement: Any, original: Any, full_key: str) -> Any:
     """Type-check an override against the current entry (reference: src/util.py:377)."""
     if original is None or type(replacement) is type(original):
+        return replacement
+    # union-typed knobs (reference yaml uses e.g. `aux: False` or `aux: 0.5`)
+    if isinstance(original, bool) and isinstance(replacement, (bool, int, float, str)):
         return replacement
     casts = [(tuple, list), (list, tuple), (int, float)]
     for from_type, to_type in casts:

@@ -1,0 +1,349 @@
+"""Unified episodic engine for the extension heads (MMN/DeTr/Match/CHM/Att/Asy/Fuse).
+
+Every variant trainer in the reference shares one skeleton (reference:
+src/train_kshot.py:128-190, src/train_trans.py:118-175,
+src/train_match.py:123-190, src/train_att.py:140-190, src/train_asy.py:130-170,
+src/train_fuse.py:130-190, src/train_aug.py:140-215):
+
+  frozen backbone features (support + query, with block-level taps)
+  -> inner-loop adaptation of the episodic classifier
+  -> head-specific refinement of the query feature
+  -> classifier prediction(s) upsampled to 473
+  -> query-balanced loss on the head's parameters only.
+
+Here that skeleton is one jitted, vmap-able program parameterized by a
+``head_type`` string; each head contributes a pure ``_loss_<head>`` branch.
+All heads produce (loss, metrics{inter/union for pred0/pred1/pred}).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.att_zoo import build_attention_variant
+from ..models.chm import CHMLearner
+from ..models.detr import build_detr
+from ..models.fusion import FuseNet1
+from ..models.matching import MatchNet
+from ..models.mmn import build_mmn
+from ..models.pspnet import apply_classifier, build_pspnet, init_classifier_weights
+from ..ops.corr import get_corr
+from ..ops.episode_utils import get_ig_mask, outer_forward
+from ..ops.losses import class_balance_weights, cross_entropy, seg_loss, weighted_cross_entropy
+from ..ops.metrics import intersection_and_union
+from ..ops.resize import upsample_bilinear_ac
+from .inner_loop import adapt_classifier
+
+HEAD_TYPES = ("mmn", "detr", "match", "chm", "att", "asy", "fuse")
+
+
+def build_head(cfg, head_type: str):
+    if head_type == "mmn":
+        return build_mmn(cfg)
+    if head_type == "detr":
+        return build_detr(cfg)
+    if head_type == "match":
+        return MatchNet(temp=cfg.temp, cv_type=cfg.get("conv4d", "red"),
+                        sce=bool(cfg.get("sce", False)), cyc=bool(cfg.get("cyc", False)),
+                        sym_mode=True, in_channel=1)
+    if head_type == "chm":
+        return CHMLearner(ktype=cfg.get("ktype", "psi"), feat_dim=cfg.backbone_dim,
+                          temp=cfg.temp)
+    if head_type == "att":
+        return build_attention_variant(cfg)
+    if head_type == "fuse":
+        # pooled-correlation side: feature side through the stride-2 pivot conv
+        feat_h = (cfg.image_size - 1) // 8 + 1
+        return FuseNet1(im_size=(feat_h - 1) // 2 + 1, mid_dim=256)
+    if head_type == "asy":
+        return None  # trains only the backbone's gamma scalar
+    raise ValueError(f"unknown head {head_type}")
+
+
+class HeadEngine:
+    """Jitted episodic programs for a given extension head."""
+
+    def __init__(self, cfg, head_type: str, frozen_match: Optional[MatchNet] = None):
+        assert head_type in HEAD_TYPES
+        self.cfg = cfg
+        self.head_type = head_type
+        self.backbone = build_pspnet(cfg)
+        self.head = build_head(cfg, head_type)
+        # train_fuse consumes a *frozen pretrained* MatchNet (src/train_fuse.py:100)
+        self.frozen_match = frozen_match or (
+            MatchNet(temp=cfg.temp, cv_type="red", in_channel=1)
+            if head_type == "fuse" else None
+        )
+        self.num_classes = cfg.num_classes_tr
+        self.image_size = cfg.image_size
+
+    # ------------------------------------------------------------------ #
+
+    def episode_parts(self, vars_b, episode, rng):
+        """Backbone features, adapted classifier, raw preds — shared prologue."""
+        cfg = self.cfg
+        imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
+        feat, feats = self.backbone.apply(
+            vars_b, imgs, train=False,
+            method=self.backbone.extract_features, mutable=False,
+        )
+        f_s, f_q = feat[:-1], feat[-1:]
+        fs_feats = jax.tree.map(lambda t: t[:-1], feats)
+        fq_feats = jax.tree.map(lambda t: t[-1:], feats)
+
+        w0 = init_classifier_weights(rng, self.num_classes, cfg.bottleneck_dim)
+        w = jax.lax.stop_gradient(
+            adapt_classifier(f_s, episode["s_label"], w0,
+                             num_steps=cfg.adapt_iter, lr=cfg.cls_lr)
+        )
+        pd_q0 = apply_classifier(w, f_q)          # (1, h, w, K)
+        pd_s = apply_classifier(w, f_s)           # (shot, h, w, K)
+        return dict(f_s=f_s, f_q=f_q, fs_feats=fs_feats, fq_feats=fq_feats,
+                    w=w, pd_q0=pd_q0, pd_s=pd_s)
+
+    def _up(self, logits: jnp.ndarray) -> jnp.ndarray:
+        return upsample_bilinear_ac(logits, (self.image_size, self.image_size))
+
+    def _cls_up(self, w, feat) -> jnp.ndarray:
+        return self._up(apply_classifier(w, feat))
+
+    # ------------------------------------------------------------------ #
+    # head-specific losses; all return (loss, {"pred1": ..., "pred": ...})
+    # ------------------------------------------------------------------ #
+
+    def _loss_mmn(self, head_vars, parts, episode, rng, det=False):
+        cfg = self.cfg
+        crit = lambda lg: seg_loss(lg, episode["q_label"], loss_type=cfg.get("loss_type", "wt_ce"))
+        _, att_fq, att_shots = self.head.apply(
+            head_vars, parts["fq_feats"], parts["fs_feats"], parts["f_q"],
+            parts["f_s"], ret_shots=True, deterministic=det,
+            rngs=None if det else {"dropout": rng},
+        )
+        fq_blend = parts["f_q"] * (1 - cfg.att_wt) + att_fq * cfg.att_wt
+        pred1 = self._cls_up(parts["w"], att_fq)[0]
+        pred = self._cls_up(parts["w"], fq_blend)[0]
+        if cfg.get("loss_shot", "avg") == "sum":
+            per_shot = self._cls_up(parts["w"], att_shots)
+            loss1 = sum(crit(per_shot[k]) for k in range(per_shot.shape[0]))
+        else:
+            loss1 = crit(pred1)
+        aux = cfg.get("aux", False)
+        loss = loss1 + (aux * crit(pred) if aux else 0.0)
+        return loss, {"pred1": pred1, "pred": pred}
+
+    def _loss_detr(self, head_vars, parts, episode, rng, det=False):
+        cfg = self.cfg
+        qw = class_balance_weights(episode["q_label"], self.num_classes)
+        crit = lambda lg: weighted_cross_entropy(lg, episode["q_label"], qw)
+        fq_out, sa_fq, ca_fq = self.head.apply(
+            head_vars, parts["fq_feats"], parts["fs_feats"], parts["f_q"],
+            parts["f_s"], deterministic=det,
+            rngs=None if det else {"dropout": rng},
+        )
+        att_fq = sa_fq if cfg.get("sf_att", False) else ca_fq
+        pred1 = self._cls_up(parts["w"], att_fq)[0]
+        pred = self._cls_up(parts["w"], fq_out)[0]
+        aux = cfg.get("aux", False)
+        loss = crit(pred1) + (aux * crit(pred) if aux else 0.0)
+        return loss, {"pred1": pred1, "pred": pred}
+
+    def _stage_features(self, parts):
+        stage = 4 if self.cfg.rmid in (None, "nr") else int(str(self.cfg.rmid)[-1])
+        key = "nr" if self.cfg.rmid == "nr" else stage
+        return parts["fq_feats"][key][-1], parts["fs_feats"][key][-1]
+
+    def _loss_match(self, head_vars, parts, episode, rng, det=False):
+        cfg = self.cfg
+        qw = class_balance_weights(episode["q_label"], self.num_classes)
+        crit = lambda lg: weighted_cross_entropy(lg, episode["q_label"], qw)
+        fq_fea, fs_fea = self._stage_features(parts)
+        wv = self.head.apply(
+            head_vars, fq_fea, fs_fea, parts["f_s"],
+            s_mask=jnp.argmax(parts["pd_s"], -1), deterministic=det,
+            rngs=None if det else {"dropout": rng},
+        )
+        pred1 = self._cls_up(parts["w"], wv)[0]
+        out = (wv * cfg.att_wt + parts["f_q"]) / (1 + cfg.att_wt)
+        pred = self._cls_up(parts["w"], out)[0]
+        loss1 = crit(pred1)
+        if cfg.get("aux", False):
+            loss1 = loss1 + _disagreement_loss(
+                pred, self._up(parts["pd_q0"])[0], pred1, episode["q_label"]
+            )
+        return loss1, {"pred1": pred1, "pred": pred}
+
+    def _loss_chm(self, head_vars, parts, episode, rng, det=False):
+        cfg = self.cfg
+        qw = class_balance_weights(episode["q_label"], self.num_classes)
+        crit = lambda lg: weighted_cross_entropy(lg, episode["q_label"], qw)
+        fq_fea, fs_fea = self._stage_features(parts)
+        h = fq_fea.shape[1]
+        fq_half = upsample_bilinear_ac(fq_fea, (h // 2, h // 2))
+        fs_half = upsample_bilinear_ac(fs_fea, (h // 2, h // 2))
+        wv = self.head.apply(head_vars, fq_half, fs_half, parts["f_s"])
+        pred1 = self._cls_up(parts["w"], wv)[0]
+        out = (wv * cfg.att_wt + parts["f_q"]) / (1 + cfg.att_wt)
+        pred = self._cls_up(parts["w"], out)[0]
+        return crit(pred1), {"pred1": pred1, "pred": pred}
+
+    def _loss_att(self, head_vars, parts, episode, rng, det=False):
+        cfg = self.cfg
+        qw = class_balance_weights(episode["q_label"], self.num_classes)
+        fq_fea, fs_fea = self._stage_features(parts)
+        shot = fs_fea.shape[0]
+        b, h, w, dk = fq_fea.shape
+        sim = get_corr(fq_fea, fs_fea[:1])
+        ig_mask = get_ig_mask(sim, episode["s_label"][:1], episode["q_label"][None],
+                              parts["pd_q0"], parts["pd_s"][:1])
+        q = fq_fea.reshape(1, h * w, dk)
+        k = fs_fea.reshape(1, shot * h * w, dk)
+        v = parts["f_s"].reshape(1, shot * h * w, -1)
+        idt = parts["f_q"].reshape(1, h * w, -1)
+        if shot > 1:  # tile the single-support ignore mask across shots
+            ig_mask = jnp.tile(ig_mask, (1, shot))
+        upd, _ = self.head.apply(head_vars, k, v, q, idt, ig_mask,
+                                 deterministic=det,
+                                 rngs=None if det else {"dropout": rng})
+        upd = upd.reshape(1, h, w, -1)
+        pred = self._cls_up(parts["w"], upd)[0]
+        return weighted_cross_entropy(pred, episode["q_label"], qw), {
+            "pred1": pred, "pred": pred,
+        }
+
+    def _loss_asy(self, gamma, parts, episode, rng, det=False):
+        cfg = self.cfg
+        qw = class_balance_weights(episode["q_label"], self.num_classes)
+        fq_fea, fs_fea = self._stage_features(parts)
+        out, _, _ = outer_forward(
+            parts["f_q"], parts["f_s"][:1], fq_fea, fs_fea[:1],
+            episode["s_label"][:1], episode["q_label"][None],
+            parts["pd_q0"], parts["pd_s"][:1], gamma,
+            temp=cfg.temp, dist=cfg.get("dist", "dot"),
+        )
+        pred = self._cls_up(parts["w"], out)[0]
+        return weighted_cross_entropy(pred, episode["q_label"], qw), {
+            "pred1": pred, "pred": pred,
+        }
+
+    def _loss_fuse(self, head_vars, parts, episode, rng, frozen_vars, det=False):
+        cfg = self.cfg
+        fq_fea, fs_fea = self._stage_features(parts)
+        b, h, w, _ = parts["f_q"].shape
+        l_corr0 = get_corr(fq_fea[:1], fs_fea[:1]).reshape(1, h, w, h, w, 1)
+        h_corr = get_corr(parts["f_q"], parts["f_s"][:1]).reshape(1, h, w, h, w)
+
+        corr2d, wv = self.frozen_match.apply(
+            frozen_vars, l_corr0, parts["f_s"][:1], ret_attn=True,
+            method=self.frozen_match.corr_forward,
+        )
+        wv = jax.lax.stop_gradient(wv)
+        l_corr = jax.lax.stop_gradient(corr2d.reshape(1, h, w, h, w))
+        pd_q1 = apply_classifier(parts["w"], wv)
+        pred1 = self._up(pd_q1)[0]
+        pred0 = self._up(parts["pd_q0"])[0]
+
+        im = self.head.im_size
+        s_mask = jnp.where(episode["s_label"][:1] == 255, 0, episode["s_label"][:1])
+        s_mask = upsample_bilinear_ac(s_mask[..., None].astype(jnp.float32), (im, im))
+        wt = self.head.apply(
+            head_vars, [l_corr, h_corr], s_mask,
+            [jax.lax.stop_gradient(parts["pd_q0"]), jax.lax.stop_gradient(pd_q1)],
+        )
+        out = wv * wt[..., 0:1] + parts["f_q"] * wt[..., 1:2]
+        pred = self._cls_up(parts["w"], out)[0]
+        loss = _disagreement_loss(pred, pred0, pred1, episode["q_label"])
+        return loss, {"pred1": pred1, "pred": pred}
+
+    # ------------------------------------------------------------------ #
+
+    def train_episode_loss(self, trainables, vars_b, episode, rng,
+                           frozen_vars=None):
+        rng_w, rng_head = jax.random.split(rng)
+        parts = self.episode_parts(vars_b, episode, rng_w)
+        if self.head_type == "asy":
+            loss, preds = self._loss_asy(trainables, parts, episode, rng_head)
+        elif self.head_type == "fuse":
+            loss, preds = self._loss_fuse({"params": trainables}, parts, episode,
+                                          rng_head, frozen_vars)
+        else:
+            loss, preds = getattr(self, f"_loss_{self.head_type}")(
+                {"params": trainables}, parts, episode, rng_head
+            )
+        metrics = {"loss": loss}
+        pred0 = self._up(parts["pd_q0"])[0]
+        for name, p in (("0", pred0), ("1", preds["pred1"]), ("", preds["pred"])):
+            inter, union, _ = intersection_and_union(
+                jnp.argmax(p, -1), episode["q_label"], self.num_classes
+            )
+            metrics[f"inter{name}"] = inter
+            metrics[f"union{name}"] = union
+        return loss, metrics
+
+    def make_train_step(self, optimizer: optax.GradientTransformation):
+        def batched(trainables, vars_b, batch, rngs, frozen_vars):
+            losses, metrics = jax.vmap(
+                self.train_episode_loss, in_axes=(None, None, 0, 0, None)
+            )(trainables, vars_b, batch, rngs, frozen_vars)
+            return jnp.mean(losses), metrics
+
+        grad_fn = jax.value_and_grad(batched, has_aux=True)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def step(trainables, opt_state, vars_b, batch, rng, frozen_vars=None):
+            e = batch["q_label"].shape[0]
+            rngs = jax.random.split(rng, e)
+            (loss, metrics), grads = grad_fn(trainables, vars_b, batch, rngs, frozen_vars)
+            updates, opt_state = optimizer.update(grads, opt_state, trainables)
+            trainables = optax.apply_updates(trainables, updates)
+            metrics = dict(metrics)
+            metrics["loss_mean"] = loss
+            return trainables, opt_state, metrics
+
+        return step
+
+    @functools.cached_property
+    def eval_metrics_batch(self):
+        """Validation: deterministic head forward, metrics for pred1 and pred."""
+
+        def eval_one(trainables, vars_b, episode, rng, frozen_vars):
+            parts = self.episode_parts(vars_b, episode, rng)
+            if self.head_type == "asy":
+                _, preds = self._loss_asy(trainables, parts, episode, rng, det=True)
+            elif self.head_type == "fuse":
+                _, preds = self._loss_fuse({"params": trainables}, parts, episode,
+                                           rng, frozen_vars, det=True)
+            else:
+                loss_fn = getattr(self, f"_loss_{self.head_type}")
+                _, preds = loss_fn({"params": trainables}, parts, episode, rng,
+                                   det=True)
+            out = {"cls": episode["cls"], "loss": cross_entropy(
+                preds["pred"], episode["q_label"])}
+            for name, p in (("0", self._up(parts["pd_q0"])[0]),
+                            ("1", preds["pred1"]), ("", preds["pred"])):
+                inter, union, _ = intersection_and_union(
+                    jnp.argmax(p, -1), episode["q_label"], self.num_classes
+                )
+                out[f"inter{name}"] = inter
+                out[f"union{name}"] = union
+            return out
+
+        fn = jax.vmap(eval_one, in_axes=(None, None, 0, 0, None))
+        return jax.jit(fn)
+
+
+def _disagreement_loss(pred, pred0, pred1, q_label, ignore_index: int = 255):
+    """Disagreement-weighted CE (reference: src/train_fuse.py:185-189)."""
+    wt = ((jnp.argmax(pred0, -1) != jnp.argmax(pred1, -1))
+          & (q_label != ignore_index)).astype(jnp.float32)
+    wt = jnp.where(wt == 0.0, 0.001, wt)
+    valid = q_label != ignore_index
+    tgt = jnp.where(valid, q_label, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+    nll = nll * valid.astype(jnp.float32)
+    return jnp.sum(nll * wt) / jnp.sum(wt)

@@ -54,6 +54,8 @@ class MMN(nn.Module):
     temp: float = 3.0
     cv_type: str = "red"
     att_wt: float = 0.5
+    att_drop: float = 0.0
+    proj_drop: float = 0.0
     feature_channels: Sequence[int] = (256, 512, 1024, 2048)
 
     def setup(self):
@@ -66,7 +68,10 @@ class MMN(nn.Module):
                         kernel_init=_default_kernel_init, name=f"rd_{bid}",
                     )
                 if self.wa:
-                    wa[str(bid)] = WeightAverage(name=f"wa_{bid}")
+                    wa[str(bid)] = WeightAverage(
+                        att_drop=self.att_drop, proj_drop=self.proj_drop,
+                        name=f"wa_{bid}",
+                    )
             self.rd = rd if self.red_dim else None
             self.wa_mods = wa if self.wa else None
         if self.agg == "sum":
@@ -97,6 +102,7 @@ class MMN(nn.Module):
         f_q: jnp.ndarray,        # (1, h, w, 512) episode query feature
         f_s: jnp.ndarray,        # (shot, h, w, 512) episode support feature
         ret_attn: bool = False,
+        ret_shots: bool = False,
         deterministic: bool = True,
     ):
         shot, h, w, _ = f_s.shape
@@ -118,9 +124,11 @@ class MMN(nn.Module):
         if self.agg == "sum":
             corr4d = jnp.sum(corr4d, axis=-1, keepdims=True)
 
-        attn, att_fq = self.corr_net.corr_forward(corr4d, v=f_s, ret_attn=True)
-        att_fq = jnp.mean(att_fq, axis=0, keepdims=True)  # average over shots
+        attn, att_shots = self.corr_net.corr_forward(corr4d, v=f_s, ret_attn=True)
+        att_fq = jnp.mean(att_shots, axis=0, keepdims=True)  # average over shots
         fq = f_q * (1.0 - self.att_wt) + att_fq * self.att_wt
+        if ret_shots:
+            return fq, att_fq, att_shots  # (shot, h, w, C) pre-mean readouts
         if ret_attn:
             return attn, fq, att_fq
         return fq, att_fq
@@ -137,4 +145,6 @@ def build_mmn(cfg) -> MMN:
         temp=cfg.temp,
         cv_type=cfg.get("conv4d", "red"),
         att_wt=cfg.att_wt,
+        att_drop=float(cfg.get("att_drop", 0.0)),
+        proj_drop=float(cfg.get("proj_drop", 0.0)),
     )

@@ -34,10 +34,23 @@ def apply_debug(cfg) -> None:
 
 
 def maybe_mesh(cfg):
-    """Build a mesh when >1 device is visible (episode data parallelism)."""
-    if len(jax.devices()) > 1 or cfg.get("mesh_shape"):
-        return make_mesh(cfg.get("mesh_shape"), tuple(cfg.get("mesh_axes", ["data"])))
-    return None
+    """Build a data mesh when >1 device is usable for the episode batch.
+
+    The data axis must divide the episode batch; uses the largest such
+    device count (e.g. batch 2 on 8 devices -> 2-device mesh).
+    """
+    if cfg.get("mesh_shape"):
+        return make_mesh(cfg.mesh_shape, tuple(cfg.get("mesh_axes", ["data"])))
+    n_dev = len(jax.devices())
+    e = int(cfg.episode_batch)
+    n = 0
+    for d in range(min(n_dev, e), 0, -1):
+        if e % d == 0:
+            n = d
+            break
+    if n <= 1:
+        return None
+    return make_mesh([n], ("data",))
 
 
 def episodic_dataset(cfg, train: bool):

@@ -1,0 +1,245 @@
+"""Generic trainer for the extension heads (MMN/DeTr/Match/CHM/Att/Asy/Fuse).
+
+One trainer subsumes the reference's per-head scripts — their episode loops
+are identical up to the head forward (see episodic.heads). CLI:
+
+    python -m few_shot_seg_cwt_tpu.train.train_head --config configs/pascal_mmn.yaml \
+        --opts head mmn [synthetic_data True ...]
+
+Thin aliases keep the reference entry-point names:
+train_kshot (mmn), train_ddp (mmn over the device mesh — mesh parallelism is
+automatic here), train_trans (detr), train_match (nc->match / chm), train_att
+(att), train_asy (asy), train_fuse (fuse), train_aug (mmn + meta-aug data).
+
+Model selection follows the reference's dual criterion (best mIoU of the
+blended prediction, best mIoU1 of the attention-only prediction ->
+best.ckpt / best1.ckpt, src/train_trans.py:202-215).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import parse_args
+from ..data.loader import infinite
+from ..episodic.heads import HeadEngine
+from ..parallel.mesh import shard_batch
+from ..utils.ckpt import save_ckpt
+from ..utils.meters import AverageMeter, CompareMeter
+from .common import (
+    apply_debug,
+    episodic_loaders,
+    init_backbone,
+    maybe_mesh,
+    set_seeds,
+)
+from .optim import build_optimizer
+
+EP_KEYS = ("s_img", "s_label", "q_img", "q_label", "cls")
+
+
+def init_head_trainables(cfg, engine: HeadEngine, vars_b):
+    """Initialize head params by tracing one (tiny) episode."""
+    import jax.numpy as jnp
+
+    if engine.head_type == "asy":
+        return jnp.asarray(0.2, jnp.float32)  # the gamma scalar
+
+    size = cfg.image_size
+    dummy = {
+        "s_img": jnp.zeros((cfg.shot, size, size, 3), jnp.float32),
+        "s_label": jnp.zeros((cfg.shot, size, size), jnp.int32),
+        "q_img": jnp.zeros((size, size, 3), jnp.float32),
+        "q_label": jnp.zeros((size, size), jnp.int32),
+        "cls": jnp.asarray(1, jnp.int32),
+    }
+
+    def init_fn(rng):
+        # reuse the engine prologue (with a 1-step inner loop for speed)
+        short_cfg_steps = engine.cfg.adapt_iter
+        engine.cfg.adapt_iter = 1
+        parts = engine.episode_parts(vars_b, dummy, rng)
+        engine.cfg.adapt_iter = short_cfg_steps
+        return parts
+
+    parts = jax.jit(init_fn)(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    ht = engine.head_type
+    if ht == "mmn":
+        v = engine.head.init(rng, parts["fq_feats"], parts["fs_feats"],
+                             parts["f_q"], parts["f_s"])
+    elif ht == "detr":
+        v = engine.head.init(rng, parts["fq_feats"], parts["fs_feats"],
+                             parts["f_q"], parts["f_s"])
+    elif ht in ("match", "chm"):
+        fq_fea, fs_fea = engine._stage_features(parts)
+        if ht == "chm":
+            from ..ops.resize import upsample_bilinear_ac
+
+            h = fq_fea.shape[1]
+            fq_fea = upsample_bilinear_ac(fq_fea, (h // 2, h // 2))
+            fs_fea = upsample_bilinear_ac(fs_fea, (h // 2, h // 2))
+        v = engine.head.init(rng, fq_fea, fs_fea, parts["f_s"])
+    elif ht == "att":
+        fq_fea, fs_fea = engine._stage_features(parts)
+        b, h, w, dk = fq_fea.shape
+        shot = fs_fea.shape[0]
+        q = fq_fea.reshape(1, h * w, dk)
+        k = fs_fea.reshape(1, shot * h * w, dk)
+        vv = parts["f_s"].reshape(1, shot * h * w, -1)
+        idt = parts["f_q"].reshape(1, h * w, -1)
+        v = engine.head.init(rng, k, vv, q, idt, None)
+    elif ht == "fuse":
+        import jax.numpy as jnp
+
+        im = engine.head.im_size
+        h = parts["f_q"].shape[1]
+        corr = jnp.zeros((1, h, h, h, h), jnp.float32)
+        s_mask = jnp.zeros((1, im, im, 1), jnp.float32)
+        pd = jnp.zeros((1, h, h, 2), jnp.float32)
+        v = engine.head.init(rng, [corr, corr], s_mask, [pd, pd])
+    else:
+        raise ValueError(ht)
+    return v["params"]
+
+
+def validate_head(cfg, engine: HeadEngine, trainables, vars_b, loader,
+                  mesh=None, frozen_vars=None, log=print):
+    """Per-class FG-IoU eval for both the blended and attention predictions."""
+    e_batch = loader.batch_size
+    nb = max(1, cfg.test_num // e_batch)
+    key = jax.random.PRNGKey(cfg.manual_seed or 0)
+    acc = {k: defaultdict(float) for k in ("i", "u", "i1", "u1")}
+    loss_meter = AverageMeter()
+    stream = infinite(loader)
+    for b in range(nb):
+        batch = next(stream)
+        episodes = {k: batch[k] for k in EP_KEYS}
+        if mesh is not None:
+            episodes = shard_batch(episodes, mesh)
+        rngs = jax.random.split(jax.random.fold_in(key, b), e_batch)
+        out = jax.tree.map(np.asarray, engine.eval_metrics_batch(
+            trainables, vars_b, episodes, rngs, frozen_vars))
+        for i in range(e_batch):
+            c = int(out["cls"][i])
+            acc["i"][c] += float(out["inter"][i, 1])
+            acc["u"][c] += float(out["union"][i, 1])
+            acc["i1"][c] += float(out["inter1"][i, 1])
+            acc["u1"][c] += float(out["union1"][i, 1])
+        loss_meter.update(float(out["loss"].mean()), n=e_batch)
+    miou = float(np.mean([acc["i"][c] / (acc["u"][c] + 1e-10) for c in acc["u"]]))
+    miou1 = float(np.mean([acc["i1"][c] / (acc["u1"][c] + 1e-10) for c in acc["u1"]]))
+    log(f"val: mIoU {miou:.4f} mIoU1 {miou1:.4f} loss {loss_meter.avg:.4f}")
+    return miou, miou1, loss_meter.avg
+
+
+def main(cfg, head_type: Optional[str] = None) -> float:
+    print(cfg)
+    set_seeds(cfg)
+    apply_debug(cfg)
+    head_type = head_type or cfg.get("head", "mmn")
+
+    engine = HeadEngine(cfg, head_type)
+    mesh = maybe_mesh(cfg)
+    vars_b = init_backbone(cfg, engine)
+    trainables = init_head_trainables(cfg, engine, vars_b)
+    frozen_vars = None
+    if head_type == "fuse":
+        # frozen pretrained MatchNet (random init if no ckpt is given)
+        fm_path = cfg.get("matchnet_ckpt", None)
+        if fm_path and os.path.exists(str(fm_path)):
+            from ..utils.ckpt import import_matchnet, load_torch_checkpoint
+
+            frozen_vars = import_matchnet(load_torch_checkpoint(fm_path))
+        else:
+            h = (cfg.image_size - 1) // 8 + 1
+            import jax.numpy as jnp
+
+            corr = jnp.zeros((1, h, h, h, h, 1), jnp.float32)
+            fs = jnp.zeros((1, h, h, cfg.bottleneck_dim), jnp.float32)
+            frozen_vars = engine.frozen_match.init(
+                jax.random.PRNGKey(3), corr, fs,
+                method=engine.frozen_match.corr_forward,
+            )
+
+    optimizer = build_optimizer(
+        cfg, base_lr=cfg.trans_lr * cfg.scale_lr,
+        iters_per_epoch=max(1, cfg.iter_per_epoch // cfg.episode_batch),
+    )
+    opt_state = optimizer.init(trainables)
+    step = engine.make_train_step(optimizer)
+
+    train_loader, val_loader = episodic_loaders(cfg)
+    sv_path = os.path.join(
+        "./results",
+        f"{head_type}_{cfg.train_name}/{cfg.arch}{cfg.layers}/"
+        f"split{cfg.train_split}_shot{cfg.shot}/{cfg.exp_name}",
+    )
+    os.makedirs(sv_path, exist_ok=True)
+
+    steps_per_epoch = 5 if cfg.debug else max(
+        1, min(cfg.iter_per_epoch, len(train_loader.dataset)) // cfg.episode_batch
+    )
+    key = jax.random.PRNGKey(cfg.manual_seed or 0)
+    best, best1 = 0.0, 0.0
+
+    print(f"==> Start training head '{head_type}'")
+    for epoch in range(1, cfg.epochs + 1):
+        train_loader.set_epoch(epoch)
+        it = iter(train_loader)
+        loss_meter = AverageMeter()
+        compare = CompareMeter()
+        t0 = time.time()
+        for i in range(1, steps_per_epoch + 1):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(train_loader)
+                batch = next(it)
+            episodes = {k: batch[k] for k in EP_KEYS}
+            if mesh is not None:
+                episodes = shard_batch(episodes, mesh)
+            key, sub = jax.random.split(key)
+            trainables, opt_state, metrics = step(
+                trainables, opt_state, vars_b, episodes, sub, frozen_vars
+            )
+            if i % 100 == 0 or (epoch == 1 and i <= 2):
+                m = jax.tree.map(np.asarray, metrics)
+                iou1 = float((m["inter1"] / (m["union1"] + 1e-10)).mean())
+                iou0 = float((m["inter0"] / (m["union0"] + 1e-10)).mean())
+                loss_meter.update(float(m["loss_mean"]))
+                compare.update(iou1, iou0)
+                print(f"Ep{epoch}/{i * cfg.episode_batch} loss {loss_meter.val:.3f} "
+                      f"IoU1 {iou1:.3f} IoU0 {iou0:.3f}")
+        print(f"==== Epoch {epoch}: loss {loss_meter.avg:.3f} "
+              f"({time.time() - t0:.1f}s) ====")
+
+        miou, miou1, _ = validate_head(
+            cfg, engine, trainables, vars_b, val_loader, mesh, frozen_vars
+        )
+        if miou > best:
+            best = miou
+            if cfg.save_models:
+                save_ckpt(os.path.join(sv_path, "best.ckpt"),
+                          jax.tree.map(np.asarray, trainables))
+        if miou1 > best1:
+            best1 = miou1
+            if cfg.save_models:
+                save_ckpt(os.path.join(sv_path, "best1.ckpt"),
+                          jax.tree.map(np.asarray, trainables))
+        print(f"=> best mIoU {best:.3f} best mIoU1 {best1:.3f}")
+
+    if cfg.save_models:
+        save_ckpt(os.path.join(sv_path, "final.ckpt"),
+                  jax.tree.map(np.asarray, trainables))
+    return best
+
+
+if __name__ == "__main__":
+    main(parse_args("Extension-head episodic training (TPU)"))

@@ -1,0 +1,59 @@
+"""Smoke tests: every extension-head trainer runs end-to-end on synthetic data."""
+
+import jax
+import numpy as np
+import pytest
+
+from few_shot_seg_cwt_tpu.config import load_cfg, merge_cfg_from_list
+
+
+def _smoke_cfg(**over):
+    cfg = load_cfg("configs/synthetic_smoke.yaml")
+    base = {
+        "image_size": 33, "adapt_iter": 3, "iter_per_epoch": 4, "epochs": 1,
+        "episode_batch": 2, "test_num": 4, "debug": True, "workers": 0,
+        "rmid": "l34", "temp": 20.0, "att_wt": 0.5, "trans_lr": 0.01,
+    }
+    base.update(over)
+    opts = []
+    for k, v in base.items():
+        opts += [k, repr(v) if isinstance(v, str) else str(v)]
+    return merge_cfg_from_list(cfg, opts)
+
+
+@pytest.mark.parametrize("head,extra", [
+    ("mmn", {}),
+    ("mmn", {"wa": "True", "loss_shot": "'sum'", "aux": "0.5", "loss_type": "'wt_dc'"}),
+    ("detr", {"sf_att": "True"}),
+    ("match", {}),
+    ("att", {}),
+    ("asy", {}),
+    ("fuse", {}),
+    ("chm", {"image_size": "41"}),
+])
+def test_head_trainer_smoke(head, extra):
+    from few_shot_seg_cwt_tpu.train.train_head import main
+
+    cfg = _smoke_cfg()
+    if extra:
+        opts = []
+        for k, v in extra.items():
+            opts += [k, v]
+        cfg = merge_cfg_from_list(cfg, opts)
+    best = main(cfg, head_type=head)
+    assert np.isfinite(best)
+
+
+def test_kshot_alias_uses_mmn():
+    from few_shot_seg_cwt_tpu.train.train_kshot import main
+
+    cfg = _smoke_cfg(shot=2)
+    assert np.isfinite(main(cfg))
+
+
+def test_train_count_runs():
+    from few_shot_seg_cwt_tpu.train.train_count import main
+
+    cfg = _smoke_cfg()
+    out = main(cfg)
+    assert out and all(0.0 <= v <= 1.0 for v in out.values())
