@@ -1,0 +1,182 @@
+"""Incremental multi-way episodic training (CCA): base classes + one novel class.
+
+Parity targets (reference: src/train_cca.py:100-200, src/train_cca1.py):
+
+* the episodic classifier is K-way (num_classes_tr, e.g. 16): base rows are
+  re-seeded from the stage-1 pretrained classifier and the novel class slot
+  (the episode's fold-local id ``subcls``) is randomly re-initialized
+  (reset_cls_wt, src/model/model_util.py:112-117);
+* support BG pixels are pseudo-labeled with the base classifier's argmax
+  (novel logit suppressed; reset_spt_label, src:119-127);
+* the inner loop optimizes Adapt_SegLoss — CE with weight (bg/fg)^tp on the
+  novel class (src/model/pspnet.py:207-221);
+* query predictions are compressed to binary foreground-vs-rest
+  probabilities before the loss and metrics (compress_pred, src:158-166).
+
+train_cca1's episode-adaptive class growth (src/model/model_util.py:130-155)
+is data-dependent, so it runs with a host-side label pass per episode batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.pspnet import apply_classifier, init_classifier_weights
+from ..ops.episode_utils import compress_pred, reset_spt_label
+from ..ops.losses import class_balance_weights, cross_entropy, seg_loss
+from ..ops.metrics import intersection_and_union
+from ..ops.resize import upsample_bilinear_ac
+from .heads import HeadEngine
+from .inner_loop import adapt_classifier
+
+
+class CCAEngine(HeadEngine):
+    """MMN head over an incremental K-way episodic classifier."""
+
+    def __init__(self, cfg, adaptive: bool = False):
+        super().__init__(cfg, "mmn")
+        self.adaptive = adaptive
+        self.tp = float(cfg.get("tp", 1.0))
+
+    # -------------------------------------------------------------- #
+
+    def episode_parts(self, vars_b, episode, rng, s_label_override=None):
+        cfg = self.cfg
+        imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
+        feat, feats = self.backbone.apply(
+            vars_b, imgs, train=False,
+            method=self.backbone.extract_features, mutable=False,
+        )
+        f_s, f_q = feat[:-1], feat[-1:]
+        fs_feats = jax.tree.map(lambda t: t[:-1], feats)
+        fq_feats = jax.tree.map(lambda t: t[-1:], feats)
+        subcls = episode["cls"]
+
+        # K-way classifier: base rows from the pretrained head, novel row fresh
+        pre_w = jnp.asarray(vars_b["params"]["classifier"]["weight"]).T  # (K, C)
+        k = pre_w.shape[0]
+        rng_row, rng_rest = jax.random.split(rng)
+        new_row = init_classifier_weights(rng_row, 1, cfg.bottleneck_dim)[0]
+        w0 = pre_w.at[subcls].set(new_row)
+
+        if s_label_override is None and self.adaptive:
+            # cca1: labels were already rewritten by the host-side pass
+            s_label_override = episode["s_label"]
+        if s_label_override is None:
+            # pseudo-label support BG with base classes (novel logit suppressed)
+            base_logits = apply_classifier(pre_w, f_s)
+            base_logits = upsample_bilinear_ac(
+                base_logits, episode["s_label"].shape[-2:]
+            )
+            s_label = reset_spt_label(episode["s_label"], base_logits, subcls)
+        else:
+            s_label = s_label_override
+
+        cls_weights = class_balance_weights(
+            s_label, num_classes=k, fg_idx=subcls, tp=self.tp
+        )
+        w = jax.lax.stop_gradient(
+            adapt_classifier(f_s, s_label, w0, num_steps=cfg.adapt_iter,
+                             lr=cfg.cls_lr, cls_weights=cls_weights)
+        )
+        pd_q0 = apply_classifier(w, f_q)
+        pd_s = apply_classifier(w, f_s)
+        return dict(f_s=f_s, f_q=f_q, fs_feats=fs_feats, fq_feats=fq_feats,
+                    w=w, pd_q0=pd_q0, pd_s=pd_s, subcls=subcls)
+
+    # -------------------------------------------------------------- #
+
+    def train_episode_loss(self, trainables, vars_b, episode, rng,
+                           frozen_vars=None, det: bool = False):
+        cfg = self.cfg
+        rng_w, rng_head = jax.random.split(rng)
+        parts = self.episode_parts(vars_b, episode, rng_w)
+        subcls = parts["subcls"]
+        q_label = episode["q_label"]
+        crit = lambda probs: seg_loss(
+            probs, q_label, loss_type=cfg.get("loss_type", "wt_ce"), input_type="pb"
+        )
+
+        _, att_fq, att_shots = self.head.apply(
+            {"params": trainables}, parts["fq_feats"], parts["fs_feats"],
+            parts["f_q"], parts["f_s"], ret_shots=True, deterministic=det,
+            rngs=None if det else {"dropout": rng_head},
+        )
+        fq_blend = parts["f_q"] * (1 - cfg.att_wt) + att_fq * cfg.att_wt
+
+        def binary_up(feat):
+            logits = self._up(apply_classifier(parts["w"], feat))
+            return compress_pred(logits, subcls, "lg")
+
+        pred0 = binary_up(parts["f_q"])[0]
+        pred1 = binary_up(att_fq)[0]
+        pred = binary_up(fq_blend)[0]
+
+        if cfg.get("loss_shot", "avg") == "sum":
+            per_shot = binary_up(att_shots)
+            loss1 = sum(crit(per_shot[s]) for s in range(per_shot.shape[0]))
+        else:
+            loss1 = crit(pred1)
+        aux = cfg.get("aux", False)
+        loss = loss1 + (aux * crit(pred) if aux else 0.0)
+
+        metrics = {"loss": loss}
+        for name, p in (("0", pred0), ("1", pred1), ("", pred)):
+            inter, union, _ = intersection_and_union(
+                jnp.argmax(p, -1), q_label, 2
+            )
+            metrics[f"inter{name}"] = inter
+            metrics[f"union{name}"] = union
+        return loss, metrics
+
+    @functools.cached_property
+    def eval_metrics_batch(self):
+        def eval_one(trainables, vars_b, episode, rng, frozen_vars):
+            loss, metrics = self.train_episode_loss(
+                trainables, vars_b, episode, rng, frozen_vars, det=True
+            )
+            out = dict(metrics)
+            out["cls"] = episode["cls"]
+            return out
+
+        return jax.jit(jax.vmap(eval_one, in_axes=(None, None, 0, 0, None)))
+
+
+def adaptive_relabel_batch(cfg, engine: CCAEngine, vars_b, batch) -> np.ndarray:
+    """Host-side cca1 label pass: episode-adaptive class growth.
+
+    Computes base predictions on device, then applies the data-dependent
+    relabeling per episode; returns the new (E, shot, H, W) support labels.
+    The resulting class count is <= num_classes_tr, so the fixed-K inner loop
+    still applies (unused rows see no pixels).
+    """
+
+    @jax.jit
+    def base_preds(vars_b, s_img):
+        feat, _ = engine.backbone.apply(
+            vars_b, s_img, train=False,
+            method=engine.backbone.extract_features, mutable=False,
+        )
+        pre_w = vars_b["params"]["classifier"]["weight"].T
+        logits = apply_classifier(pre_w, feat)
+        return upsample_bilinear_ac(logits, (cfg.image_size, cfg.image_size))
+
+    from ..ops.episode_utils import adapt_reset_spt_label_np
+
+    e = batch["s_img"].shape[0]
+    pre_w = np.asarray(vars_b["params"]["classifier"]["weight"].T)
+    out = []
+    for i in range(e):
+        preds = np.asarray(base_preds(vars_b, batch["s_img"][i]))
+        new_lab, _, _ = adapt_reset_spt_label_np(
+            np.asarray(batch["s_label"][i]), preds, pre_w,
+            cfg.num_classes_tr, sub_cls=int(batch["cls"][i]),
+        )
+        out.append(new_lab)
+    return np.stack(out)

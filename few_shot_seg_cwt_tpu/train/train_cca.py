@@ -1,0 +1,123 @@
+"""Incremental multi-way CCA trainer (reference: src/train_cca.py).
+
+CLI: python -m few_shot_seg_cwt_tpu.train.train_cca --config configs/pascal_cca.yaml
+
+Uses the K-way incremental episodic classifier (base rows inherited from the
+stage-1 head, novel slot re-initialized), pseudo-labeled support backgrounds,
+Adapt_SegLoss inner loop, MMN refinement, and binary-compressed losses. The
+adaptive variant (train_cca1) adds a host-side episode-adaptive relabel pass.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from ..config import parse_args
+from ..data.loader import infinite
+from ..episodic.cca import CCAEngine, adaptive_relabel_batch
+from ..parallel.mesh import shard_batch
+from ..utils.ckpt import save_ckpt
+from ..utils.meters import AverageMeter
+from .common import apply_debug, episodic_loaders, init_backbone, maybe_mesh, set_seeds
+from .optim import build_optimizer
+from .train_head import EP_KEYS, init_head_trainables
+
+
+def main(cfg, adaptive: bool = False) -> float:
+    print(cfg)
+    set_seeds(cfg)
+    apply_debug(cfg)
+    assert cfg.num_classes_tr > 2, "cca needs a multi-way base classifier"
+
+    engine = CCAEngine(cfg, adaptive=adaptive)
+    mesh = maybe_mesh(cfg) if not adaptive else None
+    vars_b = init_backbone(cfg, engine)
+    trainables = init_head_trainables(cfg, engine, vars_b)
+
+    optimizer = build_optimizer(
+        cfg, base_lr=cfg.trans_lr * cfg.scale_lr,
+        iters_per_epoch=max(1, cfg.iter_per_epoch // cfg.episode_batch),
+    )
+    opt_state = optimizer.init(trainables)
+    step = engine.make_train_step(optimizer)
+
+    train_loader, val_loader = episodic_loaders(cfg)
+    sv_path = os.path.join(
+        "./results",
+        f"cca{'1' if adaptive else ''}_{cfg.train_name}/{cfg.arch}{cfg.layers}/"
+        f"split{cfg.train_split}_shot{cfg.shot}/{cfg.exp_name}",
+    )
+    os.makedirs(sv_path, exist_ok=True)
+
+    steps_per_epoch = 5 if cfg.debug else max(
+        1, min(cfg.iter_per_epoch, len(train_loader.dataset)) // cfg.episode_batch
+    )
+    key = jax.random.PRNGKey(cfg.manual_seed or 0)
+    best = 0.0
+
+    print(f"==> Start training cca{'1' if adaptive else ''}")
+    for epoch in range(1, cfg.epochs + 1):
+        train_loader.set_epoch(epoch)
+        it = iter(train_loader)
+        loss_meter = AverageMeter()
+        t0 = time.time()
+        for i in range(1, steps_per_epoch + 1):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(train_loader)
+                batch = next(it)
+            episodes = {k: np.asarray(batch[k]) for k in EP_KEYS}
+            if adaptive:
+                episodes["s_label"] = adaptive_relabel_batch(
+                    cfg, engine, vars_b, episodes
+                )
+            if mesh is not None:
+                episodes = shard_batch(episodes, mesh)
+            key, sub = jax.random.split(key)
+            trainables, opt_state, metrics = step(
+                trainables, opt_state, vars_b, episodes, sub, None
+            )
+            if i % 100 == 0 or (epoch == 1 and i <= 2):
+                m = jax.tree.map(np.asarray, metrics)
+                iou1 = float((m["inter1"] / (m["union1"] + 1e-10)).mean())
+                loss_meter.update(float(m["loss_mean"]))
+                print(f"Ep{epoch}/{i * cfg.episode_batch} loss {loss_meter.val:.3f} "
+                      f"IoU1 {iou1:.3f}")
+        print(f"==== Epoch {epoch}: loss {loss_meter.avg:.3f} ({time.time()-t0:.1f}s)")
+
+        # validation: binary FG IoU per class
+        acc_i, acc_u = defaultdict(float), defaultdict(float)
+        stream = infinite(val_loader)
+        nb = max(1, cfg.test_num // val_loader.batch_size)
+        for b in range(nb):
+            vb = next(stream)
+            episodes = {k: np.asarray(vb[k]) for k in EP_KEYS}
+            if adaptive:
+                episodes["s_label"] = adaptive_relabel_batch(cfg, engine, vars_b, episodes)
+            rngs = jax.random.split(jax.random.fold_in(key, 7_000_000 + b),
+                                    val_loader.batch_size)
+            out = jax.tree.map(np.asarray, engine.eval_metrics_batch(
+                trainables, vars_b, episodes, rngs, None))
+            for j in range(val_loader.batch_size):
+                c = int(out["cls"][j])
+                acc_i[c] += float(out["inter1"][j, 1])
+                acc_u[c] += float(out["union1"][j, 1])
+        miou = float(np.mean([acc_i[c] / (acc_u[c] + 1e-10) for c in acc_u])) if acc_u else 0.0
+        print(f"val: mIoU {miou:.4f}")
+        if miou > best:
+            best = miou
+            if cfg.save_models:
+                save_ckpt(os.path.join(sv_path, "best.ckpt"),
+                          jax.tree.map(np.asarray, trainables))
+        print(f"=> best mIoU {best:.3f}")
+    return best
+
+
+if __name__ == "__main__":
+    main(parse_args("incremental CCA trainer (TPU)"))

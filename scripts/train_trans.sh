@@ -1,0 +1,10 @@
+#!/bin/bash
+# DeTr head meta-training. usage: sh scripts/train_trans.sh {pascal|coco} {split} {layers} {shot}
+set -e
+DATA=${1:-pascal}
+SPLIT=${2:-0}
+LAYERS=${3:-50}
+SHOT=${4:-1}
+python -m few_shot_seg_cwt_tpu.train.train_trans \
+  --config configs/${DATA}_trans.yaml \
+  --opts train_split ${SPLIT} layers ${LAYERS} shot ${SHOT}

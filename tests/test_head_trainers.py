@@ -57,3 +57,17 @@ def test_train_count_runs():
     cfg = _smoke_cfg()
     out = main(cfg)
     assert out and all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_cca_trainer_smoke():
+    from few_shot_seg_cwt_tpu.train.train_cca import main
+
+    cfg = _smoke_cfg(num_classes_tr=17, loss_type="'wt_dc'")
+    assert np.isfinite(main(cfg))
+
+
+def test_cca1_trainer_smoke():
+    from few_shot_seg_cwt_tpu.train.train_cca1 import main
+
+    cfg = _smoke_cfg(num_classes_tr=17, loss_type="'wt_dc'")
+    assert np.isfinite(main(cfg))
