@@ -30,6 +30,15 @@ REF_EPISODES_PER_SEC = 1.0  # PyTorch reference on V100 (documented estimate)
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: the first-ever compile of the fused
+    # episodic program is expensive; later runs (and rounds) reuse it
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -38,7 +47,7 @@ def main() -> None:
     from few_shot_seg_cwt_tpu.episodic.engine import EpisodicEngine
     from few_shot_seg_cwt_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 
-    e_batch = int(os.environ.get("BENCH_EPISODE_BATCH", "16"))
+    e_batch = int(os.environ.get("BENCH_EPISODE_BATCH", "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
     size = int(os.environ.get("BENCH_IMAGE_SIZE", "473"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")

@@ -132,7 +132,7 @@ _DEFAULTS: Dict[str, Any] = {
     "agg": "cat",
     "crm_type": "nc",          # train_match head: 'nc' | 'chm'
     "ktype": "psi",            # CHM kernel sharing type
-    "att_type": "org",         # train_aug support stream selector
+    "att_type": 2,             # train_aug support stream: 0 org, 1 aug, 3 adaptive
     "exp_name": "exp",
     "head": "mmn",             # train_head head selector
     "reduce_dim": 512,         # DeTr feature reduction

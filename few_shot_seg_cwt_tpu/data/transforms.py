@@ -342,3 +342,70 @@ def build_val_pipeline(cfg) -> Compose:
         padding = [v * 255 for v in cfg.mean] if cfg.get("padding") == "avg" else None
         resize = ResizeKeepAspect(cfg.image_size, padding=padding)
     return Compose([resize, ToNormalized(cfg.mean, cfg.std)])
+
+
+class RGB2BGR:
+    """Channel-order flip (for Caffe-initialized backbones)."""
+
+    def __call__(self, image, label):
+        return np.ascontiguousarray(np.asarray(image)[..., ::-1]), label
+
+
+BGR2RGB = RGB2BGR  # symmetric operation
+
+
+class _PILEnhance:
+    """Shared wrapper for PIL-style enhancement transforms."""
+
+    _PARAMETER_MAX = 10
+
+    def __init__(self, v: float, max_v: float, bias: float = 0.0):
+        self.v = float(v) * max_v / self._PARAMETER_MAX + bias
+
+    def _enhance(self, image):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def __call__(self, image, label):
+        from PIL import Image
+
+        img = Image.fromarray(np.uint8(np.clip(image, 0, 255))).convert("RGB")
+        out = np.asarray(self._enhance(img), np.float32)
+        return out, label
+
+
+class Contrast(_PILEnhance):
+    def __init__(self, v: float = 0.9, max_v: float = 0.05, bias: float = 0.0):
+        super().__init__(v, max_v, bias)
+
+    def _enhance(self, img):
+        from PIL import ImageEnhance
+
+        return ImageEnhance.Contrast(img).enhance(self.v)
+
+
+class Brightness(_PILEnhance):
+    def __init__(self, v: float = 1.8, max_v: float = 0.1, bias: float = 0.0):
+        super().__init__(v, max_v, bias)
+
+    def _enhance(self, img):
+        from PIL import ImageEnhance
+
+        return ImageEnhance.Brightness(img).enhance(self.v)
+
+
+class Sharpness(_PILEnhance):
+    def __init__(self, v: float = 0.9, max_v: float = 0.05, bias: float = 0.0):
+        super().__init__(v, max_v, bias)
+
+    def _enhance(self, img):
+        from PIL import ImageEnhance
+
+        return ImageEnhance.Sharpness(img).enhance(self.v)
+
+
+class AutoContrast:
+    def __call__(self, image, label):
+        from PIL import Image, ImageOps
+
+        img = Image.fromarray(np.uint8(np.clip(image, 0, 255))).convert("RGB")
+        return np.asarray(ImageOps.autocontrast(img), np.float32), label

@@ -64,6 +64,19 @@ class EpisodicEngine:
         self.cls_lr = cfg.cls_lr
         self.image_size = cfg.image_size
         self.bottleneck_dim = cfg.bottleneck_dim
+        # bf16 backbone compute (the FLOP-dominant stage); episodic math
+        # (inner loop, CWT, losses, metrics) stays f32 for mIoU parity.
+        self.compute_dtype = (
+            jnp.bfloat16 if str(cfg.get("compute_dtype", "float32")) == "bfloat16"
+            or cfg.get("use_amp", False) else jnp.float32
+        )
+
+    def _cast_backbone_inputs(self, vars_b, imgs):
+        if self.compute_dtype == jnp.float32:
+            return vars_b, imgs
+        cast = lambda x: x.astype(self.compute_dtype) if jnp.issubdtype(
+            jnp.asarray(x).dtype, jnp.floating) else x
+        return jax.tree.map(cast, vars_b), imgs.astype(self.compute_dtype)
 
     # ------------------------------------------------------------------ #
     # single-episode programs
@@ -72,23 +85,26 @@ class EpisodicEngine:
     def _episode_features(self, vars_b, episode, support_dropout=False, rng=None):
         """One backbone pass over support+query: (shot+1, H, W, 3)."""
         imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
+        vars_c, imgs = self._cast_backbone_inputs(vars_b, imgs)
         if support_dropout and rng is not None:
             feat, _ = self.backbone.apply(
-                vars_b, imgs, rngs={"dropout": rng},
+                vars_c, imgs, rngs={"dropout": rng},
                 method=_extract_support_dropout, mutable=False,
             )
         else:
             feat, _ = self.backbone.apply(
-                vars_b, imgs, train=False,
+                vars_c, imgs, train=False,
                 method=self.backbone.extract_features, mutable=False,
             )
+        feat = feat.astype(jnp.float32)
         f_s, f_q = feat[:-1], feat[-1:]
         if support_dropout and rng is not None:
             # query features must be deterministic: recompute without dropout
             f_q, _ = self.backbone.apply(
-                vars_b, episode["q_img"][None], train=False,
+                vars_c, imgs[-1:], train=False,
                 method=self.backbone.extract_features, mutable=False,
             )
+            f_q = f_q.astype(jnp.float32)
         return f_s, f_q
 
     def eval_episode(self, vars_b, vars_t, episode, rng) -> Dict[str, jnp.ndarray]:

@@ -116,8 +116,47 @@ class HeadEngine:
     # head-specific losses; all return (loss, {"pred1": ..., "pred": ...})
     # ------------------------------------------------------------------ #
 
+    def _select_support_stream(self, parts, episode):
+        """train_aug att_type: choose original/augmented/adaptive support views.
+
+        With meta_aug=2 the support axis interleaves [org_0, aug_0, org_1, ...]
+        (reference tensor_slice, src/util.py:20-29): att_type 0 keeps the
+        originals, 1 the augmented views, 3 picks per pair whichever view the
+        adapted classifier segments better (IoU of pd_s vs s_label,
+        src/train_aug.py:148-158). Other values use every view.
+        """
+        cfg = self.cfg
+        att_type = cfg.get("att_type", 2)
+        if cfg.get("meta_aug", 0) <= 1 or att_type not in (0, 1, 3):
+            return parts
+        f_s = parts["f_s"]
+        n = f_s.shape[0]
+        pairs = n // 2
+        take_feats = lambda sel: jax.tree.map(
+            lambda t: t[sel] if t.shape[0] == n else t, parts["fs_feats"]
+        )
+        if att_type in (0, 1):
+            sel = jnp.arange(pairs) * 2 + att_type
+        else:
+            # adaptive: mean FG/BG IoU of the adapted classifier on each view
+            logits = upsample_bilinear_ac(
+                parts["pd_s"], episode["s_label"].shape[-2:]
+            )
+            inter, union, _ = jax.vmap(
+                lambda p, t: intersection_and_union(p, t, self.num_classes)
+            )(jnp.argmax(logits, -1), episode["s_label"])
+            iou = jnp.mean(inter / (union + 1e-10), axis=-1).reshape(pairs, 2)
+            best = jnp.argmax(iou, axis=-1)                  # (pairs,)
+            sel = jnp.arange(pairs) * 2 + best
+        out = dict(parts)
+        out["f_s"] = f_s[sel]
+        out["fs_feats"] = take_feats(sel)
+        out["pd_s"] = parts["pd_s"][sel]
+        return out
+
     def _loss_mmn(self, head_vars, parts, episode, rng, det=False):
         cfg = self.cfg
+        parts = self._select_support_stream(parts, episode)
         crit = lambda lg: seg_loss(lg, episode["q_label"], loss_type=cfg.get("loss_type", "wt_ce"))
         _, att_fq, att_shots = self.head.apply(
             head_vars, parts["fq_feats"], parts["fs_feats"], parts["f_q"],

@@ -51,14 +51,19 @@ def adapt_classifier(
     num_steps: int = 200,
     lr: float = 0.0025,
     cls_weights: Optional[jnp.ndarray] = None,
+    fast_binary: bool = True,
 ) -> jnp.ndarray:
     """Run the episodic inner loop; returns adapted (K, C) weights.
 
     Plain SGD (no momentum), matching ``optim.SGD(cls.parameters(), lr=cls_lr)``
-    in the reference.
+    in the reference. For the binary (K=2) flagship case the exact closed-form
+    gradient path below is used; set ``fast_binary=False`` to force the
+    generic autodiff scan.
     """
     if cls_weights is None:
         cls_weights = class_balance_weights(s_label, num_classes=w_init.shape[0])
+    if fast_binary and w_init.shape[0] == 2:
+        return _adapt_binary(f_s, s_label, w_init, num_steps, lr, cls_weights)
     grad_fn = jax.grad(support_loss)
 
     def step(w, _):
@@ -67,3 +72,46 @@ def adapt_classifier(
 
     w, _ = jax.lax.scan(step, w_init, None, length=num_steps)
     return w
+
+
+def _adapt_binary(f_s, s_label, w_init, num_steps, lr, cls_weights):
+    """Exact binary-CE inner loop evolving only a (C,) accumulator.
+
+    For K=2 the weighted-CE gradient w.r.t. the two logits is
+    +-pw*(sigmoid(l1-l0) - y)/sum(pw), so the two weight rows move in exact
+    opposition: W1_t = W1_0 - lr*acc_t, W0_t = W0_0 + lr*acc_t with
+    acc_t = sum_tau g_tau @ f_s. Each step is two skinny matmuls, one
+    upsample matmul pair and a sigmoid — far less work and scan state than
+    differentiating the generic loss, and bitwise-equivalent math.
+    """
+    from ..ops.resize import interp_matrix_align_corners
+
+    shot, h, w, c = f_s.shape
+    big_h, big_w = s_label.shape[-2:]
+    valid = (s_label != 255)
+    fg = (s_label == 1)
+    y = fg.astype(jnp.float32)
+    pw = jnp.where(fg, cls_weights[1], cls_weights[0]) * valid.astype(jnp.float32)
+    pw = pw / jnp.maximum(jnp.sum(pw), 1e-12)   # fold the 1/sum(pw) into pw
+
+    a = jnp.asarray(interp_matrix_align_corners(big_h, h))      # (H, h)
+    b = jnp.asarray(interp_matrix_align_corners(big_w, w))      # (W, w)
+    flat = f_s.reshape(shot * h * w, c)                          # (S*hw, C)
+    u0 = (w_init[1] - w_init[0]).astype(jnp.float32)             # (C,)
+    scale = 2.0 * lr
+
+    def step(acc, _):
+        u = u0 - scale * acc
+        d60 = (flat @ u[:, None]).reshape(shot, h, w)            # (S, h, w)
+        d473 = jnp.matmul(
+            jnp.matmul(a, d60), b.T, preferred_element_type=jnp.float32
+        )                                                        # A d B^T
+        g = pw * (jax.nn.sigmoid(d473) - y)
+        g60 = jnp.matmul(
+            jnp.matmul(a.T, g), b, preferred_element_type=jnp.float32
+        )                                                        # A^T g B
+        gu = (g60.reshape(1, shot * h * w) @ flat)[0]            # (C,)
+        return acc + gu, None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros_like(u0), None, length=num_steps)
+    return jnp.stack([w_init[0] + lr * acc, w_init[1] - lr * acc], axis=0)

@@ -71,3 +71,11 @@ def test_cca1_trainer_smoke():
 
     cfg = _smoke_cfg(num_classes_tr=17, loss_type="'wt_dc'")
     assert np.isfinite(main(cfg))
+
+
+def test_aug_att_type_adaptive_smoke():
+    """train_aug with meta_aug view selection (att_type 3 adaptive)."""
+    from few_shot_seg_cwt_tpu.train.train_aug import main
+
+    cfg = _smoke_cfg(shot=2, meta_aug=2, att_type=3)
+    assert np.isfinite(main(cfg))

@@ -96,3 +96,15 @@ def test_one_shot_duplication_equivalence(rng):
     l2 = np.concatenate([s_label, s_label], axis=0)
     w2 = adapt_classifier(jnp.asarray(f2), jnp.asarray(l2), w0, num_steps=10, lr=0.1)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-5, atol=1e-6)
+
+
+def test_fast_binary_path_matches_generic(rng):
+    """The closed-form K=2 inner loop must equal the autodiff scan exactly."""
+    f_s, s_label = _make_episode(rng)
+    w0 = init_classifier_weights(jax.random.PRNGKey(5), 2, 16)
+    w_fast = adapt_classifier(jnp.asarray(f_s), jnp.asarray(s_label), w0,
+                              num_steps=40, lr=0.1, fast_binary=True)
+    w_generic = adapt_classifier(jnp.asarray(f_s), jnp.asarray(s_label), w0,
+                                 num_steps=40, lr=0.1, fast_binary=False)
+    np.testing.assert_allclose(np.asarray(w_fast), np.asarray(w_generic),
+                               rtol=1e-4, atol=1e-6)
