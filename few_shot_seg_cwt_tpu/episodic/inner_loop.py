@@ -84,6 +84,7 @@ def _adapt_binary(f_s, s_label, w_init, num_steps, lr, cls_weights):
     upsample matmul pair and a sigmoid — far less work and scan state than
     differentiating the generic loss, and bitwise-equivalent math.
     """
+    from ..ops.pallas_inner_loop import adapt_binary_pallas, pallas_inner_loop_available
     from ..ops.resize import interp_matrix_align_corners
 
     shot, h, w, c = f_s.shape
@@ -93,6 +94,13 @@ def _adapt_binary(f_s, s_label, w_init, num_steps, lr, cls_weights):
     y = fg.astype(jnp.float32)
     pw = jnp.where(fg, cls_weights[1], cls_weights[0]) * valid.astype(jnp.float32)
     pw = pw / jnp.maximum(jnp.sum(pw), 1e-12)   # fold the 1/sum(pw) into pw
+
+    if pallas_inner_loop_available(f_s.shape, s_label.shape):
+        u0 = (w_init[1] - w_init[0]).astype(jnp.float32)
+        acc = adapt_binary_pallas(
+            f_s[0], pw[0], (pw * y)[0], u0, num_steps=num_steps, lr=float(lr)
+        )
+        return jnp.stack([w_init[0] + lr * acc, w_init[1] - lr * acc], axis=0)
 
     a = jnp.asarray(interp_matrix_align_corners(big_h, h))      # (H, h)
     b = jnp.asarray(interp_matrix_align_corners(big_w, w))      # (W, w)

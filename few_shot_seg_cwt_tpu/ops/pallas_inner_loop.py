@@ -1,0 +1,153 @@
+"""Pallas TPU kernel: the whole 200-step inner loop, VMEM-resident.
+
+The closed-form binary inner loop (episodic.inner_loop._adapt_binary) is a
+200-iteration chain of small matmuls over fixed operands: the support
+features (3600 x 512), the two interpolation matrices (473 x 60), and the
+per-pixel weight/target maps. Under XLA each step round-trips its 473x473
+intermediates through HBM; this kernel pins every operand in VMEM (~11 MB
+for 1-shot) and runs all steps inside one `fori_loop`, so after the initial
+load the loop does zero HBM traffic.
+
+The kernel is written per-episode; `jax.vmap` lifts it over the episode batch
+(pallas_call carries a batching rule that prepends a grid dimension). It
+falls back to the XLA scan for multi-shot episodes whose features exceed the
+VMEM budget (dispatch in episodic.inner_loop).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resize import interp_matrix_align_corners
+
+try:  # pallas import is safe everywhere; execution is TPU-only
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+def _kernel(num_steps: int, lr: float,
+            fs_ref, a_ref, b_ref, pws_ref, u0_ref, acc_ref):
+    """Evolve the chunked (n_chunks, chunk) gradient accumulator in VMEM.
+
+    The feature block arrives pre-chunked along the leading axis —
+    (n_chunks, h, w, chunk) — because Mosaic supports neither lane-axis
+    slicing at non-zero offsets nor (hw, 1) <-> (h, w) relayouts. Channel
+    contractions are VPU broadcast-multiply + reductions per chunk; the
+    spatial up/downsample chain runs on the MXU as plain 2D matmuls. Pixel
+    weights are sign-packed (pws = pw * (1 - 2y)) into one (H, W) buffer.
+    """
+    a = a_ref[:]             # (H, h)
+    b = b_ref[:]             # (W, w)
+    u0 = u0_ref[:]           # (n_chunks, chunk)
+    n_chunks = u0.shape[0]
+    scale = 2.0 * lr
+
+    def step(_, acc):
+        u = u0 - scale * acc                                         # (n, chunk)
+        d60 = jnp.zeros((a.shape[1], b.shape[1]), jnp.float32)
+        for k in range(n_chunks):                                    # static unroll
+            d60 += jnp.sum(fs_ref[k] * u[k][None, None, :], axis=-1)  # VPU
+        d473 = jnp.dot(
+            jnp.dot(a, d60, preferred_element_type=jnp.float32),
+            b.T, preferred_element_type=jnp.float32,
+        )                                                            # (H, W)
+        # g = pw*(sigmoid(d) - y) with pws = pw*(1-2y):
+        #   g = |pws|*(sigmoid(d) - 0.5) + 0.5*pws  — no pw/pwy buffers
+        pws = pws_ref[:]
+        g = jnp.abs(pws) * (jax.nn.sigmoid(d473) - 0.5) + 0.5 * pws
+        g60 = jnp.dot(
+            jnp.dot(a.T, g, preferred_element_type=jnp.float32),
+            b, preferred_element_type=jnp.float32,
+        )                                                            # (h, w)
+        gu = [
+            jnp.sum(fs_ref[k] * g60[:, :, None], axis=(0, 1))        # (chunk,)
+            for k in range(n_chunks)
+        ]
+        return acc + jnp.stack(gu, axis=0)
+
+    acc_ref[:] = jax.lax.fori_loop(0, num_steps, step, jnp.zeros_like(u0))
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "lr", "interpret"))
+def adapt_binary_pallas(
+    f_s: jnp.ndarray,        # (h, w, C) single-shot support features
+    pw: jnp.ndarray,         # (H, W) normalized pixel weights
+    pwy: jnp.ndarray,        # (H, W) pw * y
+    u0: jnp.ndarray,         # (C,) initial row difference W1 - W0
+    num_steps: int,
+    lr: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns the accumulated gradient sum acc (C,); the caller forms
+    W1 = W1_0 - lr*acc, W0 = W0_0 + lr*acc."""
+    h, w, c = f_s.shape
+    big_h, big_w = pw.shape
+    a = jnp.asarray(interp_matrix_align_corners(big_h, h))
+    b = jnp.asarray(interp_matrix_align_corners(big_w, w))
+    pw_signed = pw - 2.0 * pwy            # pw where y=0, -pw where y=1
+    chunk = 128 if c % 128 == 0 else c
+    n_chunks = c // chunk
+    fs_chunked = f_s.reshape(h, w, n_chunks, chunk).transpose(2, 0, 1, 3)
+
+    kernel = functools.partial(_kernel, num_steps, lr)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        kernel,
+        in_specs=[vmem() for _ in range(5)],
+        out_specs=vmem(),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_steps * (
+                2 * h * w * c + 2 * big_h * h * w + 2 * big_h * big_w * w
+            ),
+            bytes_accessed=(h * w * c + big_h * big_w + 2 * c) * 4,
+            transcendentals=num_steps * big_h * big_w,
+        ),
+    )(
+        fs_chunked.astype(jnp.float32),
+        a, b,
+        pw_signed.astype(jnp.float32),
+        u0.reshape(n_chunks, chunk).astype(jnp.float32),
+    )
+    return acc.reshape(c)
+
+
+def _fits_vmem(shot: int, h: int, w: int, c: int, big_h: int, big_w: int) -> bool:
+    """Conservative VMEM budget: features + weight maps + transients."""
+    bytes_needed = 4 * (
+        shot * h * w * c          # f_s
+        + big_h * big_w           # sign-packed pixel weights
+        + (big_h + big_w) * h     # A, B
+        + 4 * big_h * big_w       # pw/pwy/d473/g transients
+        + h * w * 128             # chunked contraction temporary
+    )
+    return bytes_needed < 14 * 1024 * 1024
+
+
+def pallas_inner_loop_available(f_s_shape: Tuple[int, ...],
+                                label_shape: Tuple[int, ...]) -> bool:
+    """Dispatch check: TPU backend, single shot, fits VMEM."""
+    if not HAVE_PALLAS:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    shot, h, w, c = f_s_shape
+    if shot != 1:
+        return False
+    return _fits_vmem(shot, h, w, c, label_shape[-2], label_shape[-1])

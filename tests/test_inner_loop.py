@@ -108,3 +108,29 @@ def test_fast_binary_path_matches_generic(rng):
                                  num_steps=40, lr=0.1, fast_binary=False)
     np.testing.assert_allclose(np.asarray(w_fast), np.asarray(w_generic),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_kernel_matches_scan_interpret(rng):
+    """The VMEM-resident Pallas inner loop (interpret mode) equals the scan."""
+    from few_shot_seg_cwt_tpu.ops.pallas_inner_loop import adapt_binary_pallas
+    from few_shot_seg_cwt_tpu.ops.losses import class_balance_weights
+
+    f_s, s_label = _make_episode(rng, shot=1, h=6, big=25, c=16)
+    w0 = np.asarray(init_classifier_weights(jax.random.PRNGKey(8), 2, 16))
+    cw = class_balance_weights(jnp.asarray(s_label))
+
+    ref = adapt_classifier(jnp.asarray(f_s), jnp.asarray(s_label),
+                           jnp.asarray(w0), num_steps=30, lr=0.1)
+
+    valid = (s_label != 255)
+    y = (s_label == 1).astype(np.float32)
+    cw_np = np.asarray(cw)
+    pw = np.where(s_label == 1, cw_np[1], cw_np[0]) * valid
+    pw = (pw / pw.sum()).astype(np.float32)
+    u0 = (w0[1] - w0[0]).astype(np.float32)
+    acc = adapt_binary_pallas(
+        jnp.asarray(f_s[0]), jnp.asarray(pw[0]), jnp.asarray((pw * y)[0]),
+        jnp.asarray(u0), num_steps=30, lr=0.1, interpret=True,
+    )
+    got = np.stack([w0[0] + 0.1 * np.asarray(acc), w0[1] - 0.1 * np.asarray(acc)])
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-6)
