@@ -331,6 +331,13 @@ def build_aug_pipeline(cfg, names: Sequence[str]) -> Compose:
     }
     ts = [registry[name] for name in names]
     ts.append(ToNormalized(cfg.mean, cfg.std))
+    # fuse the hot [resize -> normalize] tail into the native single-pass op
+    if len(ts) >= 2 and isinstance(ts[-2], ResizeKeepAspect):
+        from . import native
+
+        if native.available():
+            ts[-2:] = [FusedResizeNormalize(cfg.image_size, cfg.mean, cfg.std,
+                                            padding=padding)]
     return Compose(ts)
 
 
@@ -340,6 +347,11 @@ def build_val_pipeline(cfg) -> Compose:
         resize = ResizeSquare((cfg.image_size, cfg.image_size))
     else:
         padding = [v * 255 for v in cfg.mean] if cfg.get("padding") == "avg" else None
+        from . import native
+
+        if native.available():
+            return Compose([FusedResizeNormalize(cfg.image_size, cfg.mean,
+                                                 cfg.std, padding=padding)])
         resize = ResizeKeepAspect(cfg.image_size, padding=padding)
     return Compose([resize, ToNormalized(cfg.mean, cfg.std)])
 
@@ -409,3 +421,52 @@ class AutoContrast:
 
         img = Image.fromarray(np.uint8(np.clip(image, 0, 255))).convert("RGB")
         return np.asarray(ImageOps.autocontrast(img), np.float32), label
+
+
+class FusedResizeNormalize:
+    """Native single-pass ResizeKeepAspect + ToNormalized (numpy fallback).
+
+    Drop-in for the [ResizeKeepAspect, ToNormalized] tail of a pipeline; uses
+    native/libfss_native.so when built (see data/native.py), otherwise runs
+    the two-stage numpy path.
+    """
+
+    def __init__(self, size: int, mean, std, padding=None):
+        self.size = size
+        self.mean = list(mean)
+        self.std = list(std)
+        self.padding = list(padding) if padding is not None else None
+        self._fallback = Compose([
+            ResizeKeepAspect(size, padding=padding), ToNormalized(mean, std)
+        ])
+
+    def _new_hw(self, h: int, w: int):
+        size = self.size
+        if h >= w:
+            nh, nw = size, int(w * size / h)
+        else:
+            nh, nw = int(h * size / w), size
+        return _mult8_floor(nh), _mult8_floor(nw)
+
+    def __call__(self, image, label):
+        from . import native
+
+        if not native.available():
+            return self._fallback(image, label)
+        img = np.asarray(image, np.float32)
+        nh, nw = self._new_hw(img.shape[0], img.shape[1])
+        out_img = native.resize_pad_normalize(
+            img, self.size, nh, nw, self.mean, self.std, self.padding
+        )
+        if out_img is None:
+            return self._fallback(image, label)
+        if label is None:
+            return out_img
+        lab = np.asarray(label)
+        nh2, nw2 = self._new_hw(lab.shape[0], lab.shape[1])
+        out_lab = native.resize_pad_label(
+            lab.astype(np.uint8), self.size, nh2, nw2, target_class=-1
+        )
+        if out_lab is None:
+            return self._fallback(image, label)
+        return out_img, out_lab
