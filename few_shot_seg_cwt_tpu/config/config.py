@@ -172,6 +172,8 @@ _DEFAULTS: Dict[str, Any] = {
     "mesh_axes": ["data"],
     "episode_batch": 8,        # episodes vmapped per device step (eval)
     "compute_dtype": "float32",  # 'float32' | 'bfloat16'
+    "profile_dir": None,       # jax.profiler trace output directory
+    "resume_ckpt": None,       # orbax checkpoint to resume trainables from
     "param_dtype": "float32",
 }
 

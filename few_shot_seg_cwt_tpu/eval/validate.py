@@ -50,6 +50,12 @@ def validate_transformer(
     run_losses = np.zeros(cfg.n_runs)
     runtimes = np.zeros(cfg.n_runs)
 
+    profile_dir = cfg.get("profile_dir")
+    if profile_dir:
+        from jax import profiler as _profiler
+
+        _profiler.start_trace(profile_dir)
+
     for run in range(cfg.n_runs):
         cls_inter: Dict[int, float] = defaultdict(float)
         cls_union: Dict[int, float] = defaultdict(float)
@@ -100,6 +106,12 @@ def validate_transformer(
         run_mious[run] = miou
         run_losses[run] = loss_meter.avg
         runtimes[run] = t_run
+
+    if profile_dir:
+        from jax import profiler as _profiler
+
+        _profiler.stop_trace()
+        log(f"profiler trace written to {profile_dir}")
 
     log(f"Average mIoU over {cfg.n_runs} runs --- {run_mious.mean():.4f}.")
     log(f"Average runtime / run --- {runtimes.mean():.4f}.")

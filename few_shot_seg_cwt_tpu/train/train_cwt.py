@@ -53,6 +53,12 @@ def main(cfg) -> float:
 
     vars_b = init_backbone(cfg, engine)
     vars_t = init_cwt(cfg, engine)
+    if cfg.get("resume_ckpt"):
+        from ..utils.ckpt import load_ckpt
+        import numpy as _np
+
+        print(f"=> resuming transformer from {cfg.resume_ckpt}")
+        vars_t = load_ckpt(cfg.resume_ckpt, like=jax.tree.map(_np.asarray, vars_t))
     trans_params = vars_t["params"]
     vars_t_extra = {k: v for k, v in vars_t.items() if k != "params"}
 
