@@ -225,3 +225,14 @@ def test_loader_batches_and_shuffles(tiny_dataset):
     np.testing.assert_array_equal(batches[0]["cls"], again[0]["cls"])
     loader.set_epoch(1)
     assert len(list(loader)) == 3
+
+
+def test_pil_enhancers_and_channel_flip(rng):
+    img = rng.uniform(0, 255, size=(16, 16, 3)).astype(np.float32)
+    lab = np.zeros((16, 16), np.uint8)
+    for t in (T.Contrast(), T.Brightness(), T.Sharpness(), T.AutoContrast()):
+        out, _ = t(img.copy(), lab)
+        assert out.shape == img.shape and np.isfinite(np.asarray(out, np.float32)).all()
+    flipped, _ = T.RGB2BGR()(img.copy(), lab)
+    np.testing.assert_allclose(flipped[..., 0], img[..., 2])
+    np.testing.assert_allclose(flipped[..., 2], img[..., 0])
