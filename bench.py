@@ -51,10 +51,12 @@ def main() -> None:
     n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
     size = int(os.environ.get("BENCH_IMAGE_SIZE", "473"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    shot = int(os.environ.get("BENCH_SHOT", "1"))
 
     cfg = default_cfg()
     cfg.image_size = size
     cfg.compute_dtype = dtype
+    cfg.shot = shot
     engine = EpisodicEngine(cfg)
 
     devices = jax.devices()
@@ -111,7 +113,7 @@ def main() -> None:
     eps_per_sec = n_batches * e_total / elapsed
     eps_per_sec_chip = eps_per_sec / n_chips
     result = {
-        "metric": f"episodes/sec/chip (1-shot eval @{size}px, adapt_iter=200, {dtype})",
+        "metric": f"episodes/sec/chip ({shot}-shot eval @{size}px, adapt_iter=200, {dtype})",
         "value": round(eps_per_sec_chip, 3),
         "unit": "episodes/sec/chip",
         "vs_baseline": round(eps_per_sec_chip / REF_EPISODES_PER_SEC, 2),

@@ -190,6 +190,9 @@ def main(cfg) -> float:
         f"split{cfg.train_split}_shot{cfg.shot}/{cfg.exp_name}",
     )
     os.makedirs(sv_path, exist_ok=True)
+    from ..utils.tb import SummaryWriter
+
+    writer = SummaryWriter(os.path.join(sv_path, "model"))
 
     key = jax.random.PRNGKey(cfg.manual_seed or 0)
     max_val_miou = 0.0
@@ -211,6 +214,7 @@ def main(cfg) -> float:
                       f"running loss {loss_meter.avg:.2f}, mIoU {miou:.4f}")
         print(f"===== Epoch {epoch}: running loss {loss_meter.avg:.2f} "
               f"({time.time() - t0:.1f}s) =====")
+        writer.add_scalar("train_loss", loss_meter.avg, epoch)
 
         if cfg.get("episodic_val", False):
             engine = EpisodicEngine(cfg)
@@ -223,6 +227,7 @@ def main(cfg) -> float:
             )
         else:
             val_miou, _ = standard_validate(cfg, model, params, batch_stats, val_loader)
+        writer.add_scalar("mean_iou/val", val_miou, epoch)
 
         if val_miou > max_val_miou:
             max_val_miou = val_miou
@@ -237,6 +242,7 @@ def main(cfg) -> float:
         save_ckpt(os.path.join(sv_path, "final.ckpt"), jax.tree.map(
             np.asarray, {"params": params, "batch_stats": batch_stats}
         ))
+    writer.close()
     return max_val_miou
 
 

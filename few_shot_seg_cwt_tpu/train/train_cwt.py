@@ -44,6 +44,9 @@ from .optim import build_optimizer
 
 
 def main(cfg) -> float:
+    from ..utils.logging import get_logger, log_to
+
+    print = get_logger()  # noqa: A001 — tees to <save_dir>/log.txt once set below
     print(cfg)
     set_seeds(cfg)
     apply_debug(cfg)
@@ -71,6 +74,9 @@ def main(cfg) -> float:
 
     train_loader, val_loader = episodic_loaders(cfg)
     save_dir = trans_ckpt_dir(cfg)
+    if cfg.save_models:
+        os.makedirs(save_dir, exist_ok=True)
+        log_to(save_dir)
 
     iter_per_epoch = 5 * cfg.episode_batch if cfg.debug else min(
         cfg.iter_per_epoch, len(train_loader.dataset)

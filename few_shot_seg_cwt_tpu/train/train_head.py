@@ -140,6 +140,9 @@ def validate_head(cfg, engine: HeadEngine, trainables, vars_b, loader,
 
 
 def main(cfg, head_type: Optional[str] = None) -> float:
+    from ..utils.logging import get_logger, log_to
+
+    print = get_logger()  # noqa: A001 — tees to <sv_path>/log.txt once set below
     print(cfg)
     set_seeds(cfg)
     apply_debug(cfg)
@@ -182,6 +185,7 @@ def main(cfg, head_type: Optional[str] = None) -> float:
         f"split{cfg.train_split}_shot{cfg.shot}/{cfg.exp_name}",
     )
     os.makedirs(sv_path, exist_ok=True)
+    log_to(sv_path)
 
     steps_per_epoch = 5 if cfg.debug else max(
         1, min(cfg.iter_per_epoch, len(train_loader.dataset)) // cfg.episode_batch
