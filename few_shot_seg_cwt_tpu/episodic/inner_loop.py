@@ -98,7 +98,7 @@ def _adapt_binary(f_s, s_label, w_init, num_steps, lr, cls_weights):
     if pallas_inner_loop_available(f_s.shape, s_label.shape):
         u0 = (w_init[1] - w_init[0]).astype(jnp.float32)
         acc = adapt_binary_pallas(
-            f_s[0], pw[0], (pw * y)[0], u0, num_steps=num_steps, lr=float(lr)
+            f_s, pw, pw * y, u0, num_steps=num_steps, lr=float(lr)
         )
         return jnp.stack([w_init[0] + lr * acc, w_init[1] - lr * acc], axis=0)
 

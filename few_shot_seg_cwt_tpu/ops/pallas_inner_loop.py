@@ -34,16 +34,18 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 
-def _kernel(num_steps: int, lr: float,
+def _kernel(num_steps: int, lr: float, shot: int,
             fs_ref, a_ref, b_ref, pws_ref, u0_ref, acc_ref):
     """Evolve the chunked (n_chunks, chunk) gradient accumulator in VMEM.
 
     The feature block arrives pre-chunked along the leading axis —
-    (n_chunks, h, w, chunk) — because Mosaic supports neither lane-axis
-    slicing at non-zero offsets nor (hw, 1) <-> (h, w) relayouts. Channel
-    contractions are VPU broadcast-multiply + reductions per chunk; the
-    spatial up/downsample chain runs on the MXU as plain 2D matmuls. Pixel
-    weights are sign-packed (pws = pw * (1 - 2y)) into one (H, W) buffer.
+    (shot * n_chunks, h, w, chunk) — because Mosaic supports neither
+    lane-axis slicing at non-zero offsets nor (hw, 1) <-> (h, w) relayouts.
+    Channel contractions are VPU broadcast-multiply + reductions per chunk;
+    the spatial up/downsample chain runs on the MXU as plain 2D matmuls.
+    Pixel weights are sign-packed (pws = pw * (1 - 2y)) into one (shot, H, W)
+    buffer; the shot loop is statically unrolled and accumulates per-shot
+    gradient contributions (the weighted-CE mean is already folded into pw).
     """
     a = a_ref[:]             # (H, h)
     b = b_ref[:]             # (W, w)
@@ -53,35 +55,41 @@ def _kernel(num_steps: int, lr: float,
 
     def step(_, acc):
         u = u0 - scale * acc                                         # (n, chunk)
-        d60 = jnp.zeros((a.shape[1], b.shape[1]), jnp.float32)
-        for k in range(n_chunks):                                    # static unroll
-            d60 += jnp.sum(fs_ref[k] * u[k][None, None, :], axis=-1)  # VPU
-        d473 = jnp.dot(
-            jnp.dot(a, d60, preferred_element_type=jnp.float32),
-            b.T, preferred_element_type=jnp.float32,
-        )                                                            # (H, W)
-        # g = pw*(sigmoid(d) - y) with pws = pw*(1-2y):
-        #   g = |pws|*(sigmoid(d) - 0.5) + 0.5*pws  — no pw/pwy buffers
-        pws = pws_ref[:]
-        g = jnp.abs(pws) * (jax.nn.sigmoid(d473) - 0.5) + 0.5 * pws
-        g60 = jnp.dot(
-            jnp.dot(a.T, g, preferred_element_type=jnp.float32),
-            b, preferred_element_type=jnp.float32,
-        )                                                            # (h, w)
-        gu = [
-            jnp.sum(fs_ref[k] * g60[:, :, None], axis=(0, 1))        # (chunk,)
-            for k in range(n_chunks)
-        ]
-        return acc + jnp.stack(gu, axis=0)
+        gu_total = None
+        for sidx in range(shot):                                     # static
+            d60 = jnp.zeros((a.shape[1], b.shape[1]), jnp.float32)
+            for k in range(n_chunks):                                # static
+                blk = fs_ref[sidx * n_chunks + k]
+                d60 += jnp.sum(blk * u[k][None, None, :], axis=-1)   # VPU
+            d473 = jnp.dot(
+                jnp.dot(a, d60, preferred_element_type=jnp.float32),
+                b.T, preferred_element_type=jnp.float32,
+            )                                                        # (H, W)
+            # g = pw*(sigmoid(d) - y) with pws = pw*(1-2y):
+            #   g = |pws|*(sigmoid(d) - 0.5) + 0.5*pws
+            pws = pws_ref[sidx]
+            g = jnp.abs(pws) * (jax.nn.sigmoid(d473) - 0.5) + 0.5 * pws
+            g60 = jnp.dot(
+                jnp.dot(a.T, g, preferred_element_type=jnp.float32),
+                b, preferred_element_type=jnp.float32,
+            )                                                        # (h, w)
+            gu = [
+                jnp.sum(fs_ref[sidx * n_chunks + k] * g60[:, :, None],
+                        axis=(0, 1))                                  # (chunk,)
+                for k in range(n_chunks)
+            ]
+            gu = jnp.stack(gu, axis=0)
+            gu_total = gu if gu_total is None else gu_total + gu
+        return acc + gu_total
 
     acc_ref[:] = jax.lax.fori_loop(0, num_steps, step, jnp.zeros_like(u0))
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps", "lr", "interpret"))
 def adapt_binary_pallas(
-    f_s: jnp.ndarray,        # (h, w, C) single-shot support features
-    pw: jnp.ndarray,         # (H, W) normalized pixel weights
-    pwy: jnp.ndarray,        # (H, W) pw * y
+    f_s: jnp.ndarray,        # (shot, h, w, C) support features
+    pw: jnp.ndarray,         # (shot, H, W) normalized pixel weights
+    pwy: jnp.ndarray,        # (shot, H, W) pw * y
     u0: jnp.ndarray,         # (C,) initial row difference W1 - W0
     num_steps: int,
     lr: float,
@@ -89,16 +97,17 @@ def adapt_binary_pallas(
 ) -> jnp.ndarray:
     """Returns the accumulated gradient sum acc (C,); the caller forms
     W1 = W1_0 - lr*acc, W0 = W0_0 + lr*acc."""
-    h, w, c = f_s.shape
-    big_h, big_w = pw.shape
+    shot, h, w, c = f_s.shape
+    big_h, big_w = pw.shape[-2:]
     a = jnp.asarray(interp_matrix_align_corners(big_h, h))
     b = jnp.asarray(interp_matrix_align_corners(big_w, w))
     pw_signed = pw - 2.0 * pwy            # pw where y=0, -pw where y=1
     chunk = 128 if c % 128 == 0 else c
     n_chunks = c // chunk
-    fs_chunked = f_s.reshape(h, w, n_chunks, chunk).transpose(2, 0, 1, 3)
+    fs_chunked = f_s.reshape(shot, h, w, n_chunks, chunk).transpose(0, 3, 1, 2, 4)
+    fs_chunked = fs_chunked.reshape(shot * n_chunks, h, w, chunk)
 
-    kernel = functools.partial(_kernel, num_steps, lr)
+    kernel = functools.partial(_kernel, num_steps, lr, shot)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
         kernel,
@@ -107,14 +116,20 @@ def adapt_binary_pallas(
         out_shape=jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # just enough headroom for double-buffered inputs + transients;
+            # over-asking can push Mosaic into worse allocation decisions
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                2 * 4 * (shot * h * w * c + shot * big_h * big_w)
+                + 16 * 1024 * 1024,
+            ),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_steps * (
+            flops=2 * num_steps * shot * (
                 2 * h * w * c + 2 * big_h * h * w + 2 * big_h * big_w * w
             ),
-            bytes_accessed=(h * w * c + big_h * big_w + 2 * c) * 4,
-            transcendentals=num_steps * big_h * big_w,
+            bytes_accessed=shot * (h * w * c + big_h * big_w) * 4,
+            transcendentals=num_steps * shot * big_h * big_w,
         ),
     )(
         fs_chunked.astype(jnp.float32),
@@ -127,14 +142,14 @@ def adapt_binary_pallas(
 
 def _fits_vmem(shot: int, h: int, w: int, c: int, big_h: int, big_w: int) -> bool:
     """Conservative VMEM budget: features + weight maps + transients."""
-    bytes_needed = 4 * (
-        shot * h * w * c          # f_s
-        + big_h * big_w           # sign-packed pixel weights
-        + (big_h + big_w) * h     # A, B
-        + 4 * big_h * big_w       # pw/pwy/d473/g transients
-        + h * w * 128             # chunked contraction temporary
-    )
-    return bytes_needed < 14 * 1024 * 1024
+    # double-buffered inputs across the vmap grid + transients; the v5e
+    # scoped limit is raised to 100MB via CompilerParams
+    bytes_needed = 4 * 2 * (
+        shot * h * w * c               # f_s
+        + shot * big_h * big_w         # sign-packed pixel weights
+        + (big_h + big_w) * h          # A, B
+    ) + 4 * (3 * big_h * big_w + h * w * 128)
+    return bytes_needed < 120 * 1024 * 1024
 
 
 def pallas_inner_loop_available(f_s_shape: Tuple[int, ...],
@@ -148,6 +163,4 @@ def pallas_inner_loop_available(f_s_shape: Tuple[int, ...],
     except Exception:  # pragma: no cover
         return False
     shot, h, w, c = f_s_shape
-    if shot != 1:
-        return False
     return _fits_vmem(shot, h, w, c, label_shape[-2], label_shape[-1])

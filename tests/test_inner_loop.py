@@ -115,7 +115,7 @@ def test_pallas_kernel_matches_scan_interpret(rng):
     from few_shot_seg_cwt_tpu.ops.pallas_inner_loop import adapt_binary_pallas
     from few_shot_seg_cwt_tpu.ops.losses import class_balance_weights
 
-    f_s, s_label = _make_episode(rng, shot=1, h=6, big=25, c=16)
+    f_s, s_label = _make_episode(rng, shot=2, h=6, big=25, c=16)
     w0 = np.asarray(init_classifier_weights(jax.random.PRNGKey(8), 2, 16))
     cw = class_balance_weights(jnp.asarray(s_label))
 
@@ -129,7 +129,7 @@ def test_pallas_kernel_matches_scan_interpret(rng):
     pw = (pw / pw.sum()).astype(np.float32)
     u0 = (w0[1] - w0[0]).astype(np.float32)
     acc = adapt_binary_pallas(
-        jnp.asarray(f_s[0]), jnp.asarray(pw[0]), jnp.asarray((pw * y)[0]),
+        jnp.asarray(f_s), jnp.asarray(pw), jnp.asarray(pw * y),
         jnp.asarray(u0), num_steps=30, lr=0.1, interpret=True,
     )
     got = np.stack([w0[0] + 0.1 * np.asarray(acc), w0[1] - 0.1 * np.asarray(acc)])
