@@ -82,6 +82,17 @@ class EpisodicDataset:
             T.build_aug_pipeline(cfg, cfg.augmentations) if train
             else T.build_val_pipeline(cfg)
         )
+        # finishing stages for meta-aug views, built explicitly (positional
+        # slicing breaks when the resize+normalize tail is fused natively):
+        # _resize_norm = the pipeline's resize flavour + normalization;
+        # _norm_only   = normalization alone (view already at full canvas).
+        if "resize_np" in cfg.augmentations:
+            self._resize_norm = [T.ResizeSquare((cfg.image_size, cfg.image_size)),
+                                 T.ToNormalized(cfg.mean, cfg.std)]
+        else:
+            self._resize_norm = [T.FusedResizeNormalize(
+                cfg.image_size, cfg.mean, cfg.std, padding=self.padding)]
+        self._norm_only = [T.ToNormalized(cfg.mean, cfg.std)]
 
     def __len__(self) -> int:
         return len(self.data_list)
@@ -182,8 +193,10 @@ class EpisodicDataset:
         )
 
     def _tail(self, n: int) -> List:
-        """Last n stages of the base pipeline (resize[+normalize])."""
-        return self.transform.segtransform[-n:]
+        """Finishing stages for augmented views: n=2 -> resize+normalize,
+        n=1 -> normalize only (mirrors the reference's segtransform[-3:] /
+        [-2:] slices without depending on pipeline internals)."""
+        return self._resize_norm if n == 2 else self._norm_only
 
     def _apply(self, stages, img, lab):
         out_i, out_l = T.Compose(stages)(img, lab)

@@ -95,6 +95,17 @@ class EpisodeLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_abort(item) -> bool:
+            """Queue.put that gives up when the consumer abandoned the iterator
+            (otherwise the producer thread and its batches leak forever)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -102,11 +113,12 @@ class EpisodeLoader:
                         if stop.is_set():
                             return
                         records = list(pool.map(self.dataset.__getitem__, chunk))
-                        out_q.put(self._finalize(records))
+                        if not put_or_abort(self._finalize(records)):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put_or_abort(e)
             finally:
-                out_q.put(None)
+                put_or_abort(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

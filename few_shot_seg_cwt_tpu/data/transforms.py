@@ -91,7 +91,9 @@ class ResizeKeepAspect:
             canvas[:] = np.asarray(self.padding, np.float32)
         canvas[:nh, :nw, :] = img
         if label is None:
-            return canvas, nh, nw
+            # (the reference returns (image, nh, nw) here, but that path is
+            # dead there and breaks Compose; return the canvas alone)
+            return canvas
         nh2, nw2 = new_hw(label.shape[0], label.shape[1])
         lbl = cv2.resize(
             np.asarray(label, np.float32), dsize=(nw2, nh2), interpolation=cv2.INTER_NEAREST

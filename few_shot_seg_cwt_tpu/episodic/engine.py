@@ -83,29 +83,31 @@ class EpisodicEngine:
     # ------------------------------------------------------------------ #
 
     def _episode_features(self, vars_b, episode, support_dropout=False, rng=None):
-        """One backbone pass over support+query: (shot+1, H, W, 3)."""
-        imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
-        vars_c, imgs = self._cast_backbone_inputs(vars_b, imgs)
+        """Backbone features for an episode.
+
+        Eval path: one pass over support+query. Train path (support_dropout):
+        support runs with bottleneck dropout active, the query runs a separate
+        deterministic pass — shot+1 forwards total, never a wasted one.
+        """
         if support_dropout and rng is not None:
-            feat, _ = self.backbone.apply(
-                vars_c, imgs, rngs={"dropout": rng},
+            vars_c, s_imgs = self._cast_backbone_inputs(vars_b, episode["s_img"])
+            f_s, _ = self.backbone.apply(
+                vars_c, s_imgs, rngs={"dropout": rng},
                 method=_extract_support_dropout, mutable=False,
             )
-        else:
-            feat, _ = self.backbone.apply(
-                vars_c, imgs, train=False,
-                method=self.backbone.extract_features, mutable=False,
-            )
-        feat = feat.astype(jnp.float32)
-        f_s, f_q = feat[:-1], feat[-1:]
-        if support_dropout and rng is not None:
-            # query features must be deterministic: recompute without dropout
             f_q, _ = self.backbone.apply(
-                vars_c, imgs[-1:], train=False,
-                method=self.backbone.extract_features, mutable=False,
+                vars_c, self._cast_backbone_inputs(vars_b, episode["q_img"][None])[1],
+                train=False, method=self.backbone.extract_features, mutable=False,
             )
-            f_q = f_q.astype(jnp.float32)
-        return f_s, f_q
+            return f_s.astype(jnp.float32), f_q.astype(jnp.float32)
+        imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
+        vars_c, imgs = self._cast_backbone_inputs(vars_b, imgs)
+        feat, _ = self.backbone.apply(
+            vars_c, imgs, train=False,
+            method=self.backbone.extract_features, mutable=False,
+        )
+        feat = feat.astype(jnp.float32)
+        return feat[:-1], feat[-1:]
 
     def eval_episode(self, vars_b, vars_t, episode, rng) -> Dict[str, jnp.ndarray]:
         """Inner loop + CWT update + query logits (no grad), one episode."""

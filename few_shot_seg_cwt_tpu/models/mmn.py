@@ -135,6 +135,10 @@ class MMN(nn.Module):
 
 
 def build_mmn(cfg) -> MMN:
+    assert cfg.get("rmid"), (
+        "MMN needs the rmid config (which backbone stages to correlate), "
+        "e.g. --opts rmid 'l34'"
+    )
     return MMN(
         bids=tuple(parse_bids(cfg.rmid)),
         all_lr=str(cfg.all_lr),

@@ -107,12 +107,11 @@ def make_pretrain_step(model, optimizer, cfg):
     return step
 
 
-def standard_validate(cfg, model, params, batch_stats, loader, log=print
-                      ) -> Tuple[float, float]:
-    """Pixel mIoU over the val list at train-class indexing (src:222-249)."""
+def make_standard_eval(cfg, model):
+    """Jitted once; params/batch_stats are runtime arguments, not constants."""
 
     @jax.jit
-    def eval_batch(img, gt):
+    def eval_batch(params, batch_stats, img, gt):
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, img, train=False
         )
@@ -121,12 +120,18 @@ def standard_validate(cfg, model, params, batch_stats, loader, log=print
         )
         return inter, union, cross_entropy(logits, gt)
 
+    return eval_batch
+
+
+def standard_validate(cfg, eval_batch, params, batch_stats, loader, log=print
+                      ) -> Tuple[float, float]:
+    """Pixel mIoU over the val list at train-class indexing (src:222-249)."""
     inters = np.zeros(cfg.num_classes_tr)
     unions = np.zeros(cfg.num_classes_tr)
     loss_meter = AverageMeter()
     for batch in loader:
         inter, union, loss = jax.tree.map(
-            np.asarray, eval_batch(batch["img"], batch["label"])
+            np.asarray, eval_batch(params, batch_stats, batch["img"], batch["label"])
         )
         inters += inter
         unions += union
@@ -194,6 +199,17 @@ def main(cfg) -> float:
 
     writer = SummaryWriter(os.path.join(sv_path, "model"))
 
+    # validation machinery built ONCE (rebuilding per epoch would retrace
+    # and recompile the identical jitted programs every epoch)
+    if cfg.get("episodic_val", False):
+        ep_engine = EpisodicEngine(cfg)
+        ep_loader = EpisodeLoader(
+            episodic_dataset(cfg, train=False), batch_size=cfg.episode_batch,
+            shuffle=False, num_workers=cfg.workers,
+        )
+    else:
+        std_eval = make_standard_eval(cfg, model)
+
     key = jax.random.PRNGKey(cfg.manual_seed or 0)
     max_val_miou = 0.0
     print("==> Start training")
@@ -217,16 +233,13 @@ def main(cfg) -> float:
         writer.add_scalar("train_loss", loss_meter.avg, epoch)
 
         if cfg.get("episodic_val", False):
-            engine = EpisodicEngine(cfg)
-            ep_loader = EpisodeLoader(
-                episodic_dataset(cfg, train=False), batch_size=cfg.episode_batch,
-                shuffle=False, num_workers=cfg.workers,
-            )
             val_miou, _ = episodic_validate(
-                cfg, engine, {"params": params, "batch_stats": batch_stats}, ep_loader
+                cfg, ep_engine, {"params": params, "batch_stats": batch_stats},
+                ep_loader,
             )
         else:
-            val_miou, _ = standard_validate(cfg, model, params, batch_stats, val_loader)
+            val_miou, _ = standard_validate(cfg, std_eval, params, batch_stats,
+                                            val_loader)
         writer.add_scalar("mean_iou/val", val_miou, epoch)
 
         if val_miou > max_val_miou:
