@@ -143,4 +143,12 @@ class EpisodeLoader:
 def infinite(loader: EpisodeLoader) -> Iterator[Dict[str, Any]]:
     """Wrap-around iteration (validation semantics of the reference)."""
     while True:
-        yield from loader
+        produced = False
+        for batch in loader:
+            produced = True
+            yield batch
+        if not produced:
+            raise RuntimeError(
+                f"loader yields no batches (dataset of {len(loader.dataset)} "
+                f"items < batch_size {loader.batch_size} with drop_last)"
+            )

@@ -57,13 +57,18 @@ class SyntheticEpisodicDataset:
         self.shot = cfg.shot
         self.length = length
         self.seed = seed
+        # class ids double as classifier row indices in the CCA trainers:
+        # keep them within [1, num_classes_tr - 1] for multi-way configs
+        k = int(cfg.get("num_classes_tr", 2))
+        self.num_classes_pool = min(16, k - 1) if k > 2 else 16
 
     def __len__(self) -> int:
         return self.length
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(self.seed * 100_003 + index)
-        return make_episode(rng, size=self.size, shot=self.shot)
+        return make_episode(rng, size=self.size, shot=self.shot,
+                            num_classes_pool=self.num_classes_pool)
 
 
 def make_episode_batch(seed: int, e: int, size: int = 473, shot: int = 1

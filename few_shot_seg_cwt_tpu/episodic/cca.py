@@ -65,30 +65,54 @@ class CCAEngine(HeadEngine):
         new_row = init_classifier_weights(rng_row, 1, cfg.bottleneck_dim)[0]
         w0 = pre_w.at[subcls].set(new_row)
 
-        if s_label_override is None and self.adaptive:
-            # cca1: labels were already rewritten by the host-side pass
-            s_label_override = episode["s_label"]
-        if s_label_override is None:
+        row_mask = None
+        if self.adaptive:
+            # cca1: labels/classifier were rewritten by the host-side pass —
+            # foreground is class 1, inherited base rows start at 2, unused
+            # rows are masked out of the softmax (the reference builds a
+            # literally narrower classifier per episode)
+            s_label = episode["s_label"]
+            w0 = episode["w0"]
+            row_mask = episode["row_mask"]
+            fg_idx = 1
+        elif s_label_override is not None:
+            s_label = s_label_override
+            fg_idx = subcls
+        else:
             # pseudo-label support BG with base classes (novel logit suppressed)
             base_logits = apply_classifier(pre_w, f_s)
             base_logits = upsample_bilinear_ac(
                 base_logits, episode["s_label"].shape[-2:]
             )
             s_label = reset_spt_label(episode["s_label"], base_logits, subcls)
-        else:
-            s_label = s_label_override
+            fg_idx = subcls
 
         cls_weights = class_balance_weights(
-            s_label, num_classes=k, fg_idx=subcls, tp=self.tp
+            s_label, num_classes=k, fg_idx=fg_idx, tp=self.tp
         )
         w = jax.lax.stop_gradient(
             adapt_classifier(f_s, s_label, w0, num_steps=cfg.adapt_iter,
-                             lr=cfg.cls_lr, cls_weights=cls_weights)
+                             lr=cfg.cls_lr, cls_weights=cls_weights,
+                             row_mask=row_mask)
         )
-        pd_q0 = apply_classifier(w, f_q)
-        pd_s = apply_classifier(w, f_s)
-        return dict(f_s=f_s, f_q=f_q, fs_feats=fs_feats, fq_feats=fq_feats,
-                    w=w, pd_q0=pd_q0, pd_s=pd_s, subcls=subcls)
+
+        parts = dict(f_s=f_s, f_q=f_q, fs_feats=fs_feats, fq_feats=fq_feats,
+                     w=w, subcls=subcls,
+                     fg_idx=jnp.asarray(1 if self.adaptive else subcls))
+        if row_mask is not None:
+            parts["row_mask"] = row_mask
+        parts["pd_q0"] = self._masked_cls(parts, f_q)
+        parts["pd_s"] = self._masked_cls(parts, f_s)
+        return parts
+
+    @staticmethod
+    def _masked_cls(parts, feat):
+        """Classifier logits with unused rows removed from the softmax."""
+        logits = apply_classifier(parts["w"], feat)
+        row_mask = parts.get("row_mask")
+        if row_mask is not None:
+            logits = jnp.where(row_mask[None, None, None, :], logits, -1e9)
+        return logits
 
     # -------------------------------------------------------------- #
 
@@ -97,7 +121,7 @@ class CCAEngine(HeadEngine):
         cfg = self.cfg
         rng_w, rng_head = jax.random.split(rng)
         parts = self.episode_parts(vars_b, episode, rng_w)
-        subcls = parts["subcls"]
+        fg_idx = parts["fg_idx"]
         q_label = episode["q_label"]
         crit = lambda probs: seg_loss(
             probs, q_label, loss_type=cfg.get("loss_type", "wt_ce"), input_type="pb"
@@ -111,8 +135,8 @@ class CCAEngine(HeadEngine):
         fq_blend = parts["f_q"] * (1 - cfg.att_wt) + att_fq * cfg.att_wt
 
         def binary_up(feat):
-            logits = self._up(apply_classifier(parts["w"], feat))
-            return compress_pred(logits, subcls, "lg")
+            logits = self._masked_cls(parts, feat)
+            return compress_pred(self._up(logits), fg_idx, "lg")
 
         pred0 = binary_up(parts["f_q"])[0]
         pred1 = binary_up(att_fq)[0]
@@ -148,14 +172,8 @@ class CCAEngine(HeadEngine):
         return jax.jit(jax.vmap(eval_one, in_axes=(None, None, 0, 0, None)))
 
 
-def adaptive_relabel_batch(cfg, engine: CCAEngine, vars_b, batch) -> np.ndarray:
-    """Host-side cca1 label pass: episode-adaptive class growth.
-
-    Computes base predictions on device, then applies the data-dependent
-    relabeling per episode; returns the new (E, shot, H, W) support labels.
-    The resulting class count is <= num_classes_tr, so the fixed-K inner loop
-    still applies (unused rows see no pixels).
-    """
+def make_base_preds_fn(cfg, engine: CCAEngine):
+    """Jitted once (per trainer, not per batch): base-classifier support preds."""
 
     @jax.jit
     def base_preds(vars_b, s_img):
@@ -163,20 +181,46 @@ def adaptive_relabel_batch(cfg, engine: CCAEngine, vars_b, batch) -> np.ndarray:
             vars_b, s_img, train=False,
             method=engine.backbone.extract_features, mutable=False,
         )
-        pre_w = vars_b["params"]["classifier"]["weight"].T
+        pre_w = jnp.asarray(vars_b["params"]["classifier"]["weight"]).T
         logits = apply_classifier(pre_w, feat)
         return upsample_bilinear_ac(logits, (cfg.image_size, cfg.image_size))
 
+    return base_preds
+
+
+def adaptive_relabel_batch(cfg, engine: CCAEngine, vars_b, batch,
+                           base_preds_fn, rng: np.random.Generator):
+    """Host-side cca1 pass: episode-adaptive class growth (src/train_cca1.py:144).
+
+    Per episode returns the rewritten labels plus the fresh per-episode
+    classifier: rows 0/1 random (torch Conv2d init), rows 2..num_cls-1 the
+    inherited base-class weights, remaining rows masked out of the softmax.
+    """
     from ..ops.episode_utils import adapt_reset_spt_label_np
 
     e = batch["s_img"].shape[0]
-    pre_w = np.asarray(vars_b["params"]["classifier"]["weight"].T)
-    out = []
+    k = cfg.num_classes_tr
+    c = cfg.bottleneck_dim
+    pre_w = np.asarray(vars_b["params"]["classifier"]["weight"]).T
+    bound = 1.0 / np.sqrt(c)
+
+    labels, w0s, masks = [], [], []
     for i in range(e):
-        preds = np.asarray(base_preds(vars_b, batch["s_img"][i]))
-        new_lab, _, _ = adapt_reset_spt_label_np(
+        preds = np.asarray(base_preds_fn(vars_b, batch["s_img"][i]))
+        new_lab, cls_init_wt, num_cls = adapt_reset_spt_label_np(
             np.asarray(batch["s_label"][i]), preds, pre_w,
             cfg.num_classes_tr, sub_cls=int(batch["cls"][i]),
         )
-        out.append(new_lab)
-    return np.stack(out)
+        w0 = rng.uniform(-bound, bound, size=(k, c)).astype(np.float32)
+        for j, wt in enumerate(cls_init_wt):
+            w0[2 + j] = wt
+        mask = np.zeros(k, bool)
+        mask[:num_cls] = True
+        labels.append(new_lab)
+        w0s.append(w0)
+        masks.append(mask)
+    out = dict(batch)
+    out["s_label"] = np.stack(labels)
+    out["w0"] = np.stack(w0s)
+    out["row_mask"] = np.stack(masks)
+    return out

@@ -185,13 +185,13 @@ class EpisodicEngine:
         inter0, union0, _ = intersection_and_union(
             jnp.argmax(logits0, -1), q_label, self.num_classes
         )
-        loss = weighted_cross_entropy(
-            logits, q_label, jnp.ones((self.num_classes,), jnp.float32)
-        )
+        ones = jnp.ones((self.num_classes,), jnp.float32)
+        loss = weighted_cross_entropy(logits, q_label, ones)
+        loss0 = weighted_cross_entropy(logits0, q_label, ones)
         return {
             "inter": inter, "union": union,
             "inter0": inter0, "union0": union0,
-            "loss": loss, "cls": episode["cls"],
+            "loss": loss, "loss0": loss0, "cls": episode["cls"],
         }
 
     # ------------------------------------------------------------------ #

@@ -36,10 +36,14 @@ def support_loss(
     f_s: jnp.ndarray,        # (shot, h, w, C) support features
     s_label: jnp.ndarray,    # (shot, H, W) int labels in {0, 1, 255}
     cls_weights: jnp.ndarray,  # (K,) CE class weights
+    row_mask: Optional[jnp.ndarray] = None,  # (K,) bool; False rows excluded
 ) -> jnp.ndarray:
     logits = jnp.einsum(
         "shwc,ck->shwk", f_s, w.T, preferred_element_type=jnp.float32
     )
+    if row_mask is not None:
+        # emulate a narrower classifier: masked rows leave the softmax
+        logits = jnp.where(row_mask[None, None, None, :], logits, -1e9)
     logits = upsample_bilinear_ac(logits, s_label.shape[-2:])
     return weighted_cross_entropy(logits, s_label, cls_weights)
 
@@ -52,6 +56,7 @@ def adapt_classifier(
     lr: float = 0.0025,
     cls_weights: Optional[jnp.ndarray] = None,
     fast_binary: bool = True,
+    row_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the episodic inner loop; returns adapted (K, C) weights.
 
@@ -62,12 +67,12 @@ def adapt_classifier(
     """
     if cls_weights is None:
         cls_weights = class_balance_weights(s_label, num_classes=w_init.shape[0])
-    if fast_binary and w_init.shape[0] == 2:
+    if fast_binary and w_init.shape[0] == 2 and row_mask is None:
         return _adapt_binary(f_s, s_label, w_init, num_steps, lr, cls_weights)
     grad_fn = jax.grad(support_loss)
 
     def step(w, _):
-        g = grad_fn(w, f_s, s_label, cls_weights)
+        g = grad_fn(w, f_s, s_label, cls_weights, row_mask)
         return w - lr * g, None
 
     w, _ = jax.lax.scan(step, w_init, None, length=num_steps)

@@ -31,6 +31,26 @@ def _episode_fields(batch: Dict) -> Dict:
     return {k: batch[k] for k in ("s_img", "s_label", "q_img", "q_label", "cls")}
 
 
+def accumulate_fg_iou(inter_acc: Dict[int, float], union_acc: Dict[int, float],
+                      out: Dict, suffix: str = "") -> None:
+    """Per-class foreground I/U accumulation shared by all validators."""
+    classes = out["cls"]
+    inter = out[f"inter{suffix}"]
+    union = out[f"union{suffix}"]
+    for i in range(len(classes)):
+        c = int(classes[i])
+        inter_acc[c] += float(inter[i, 1])
+        union_acc[c] += float(union[i, 1])
+
+
+def fg_miou(inter_acc: Dict[int, float], union_acc: Dict[int, float]) -> float:
+    if not union_acc:
+        return 0.0
+    return float(np.mean(
+        [inter_acc[c] / (union_acc[c] + 1e-10) for c in union_acc]
+    ))
+
+
 def validate_transformer(
     cfg,
     engine,
@@ -79,13 +99,9 @@ def validate_transformer(
             t_run += time.time() - t0
             seen += e_batch
 
-            for i in range(e_batch):
-                c = int(out["cls"][i])
-                # foreground channel only; background never enters the score
-                cls_inter[c] += float(out["inter"][i, 1])
-                cls_union[c] += float(out["union"][i, 1])
-                cls_inter0[c] += float(out["inter0"][i, 1])
-                cls_union0[c] += float(out["union0"][i, 1])
+            # foreground channel only; background never enters the score
+            accumulate_fg_iou(cls_inter, cls_union, out)
+            accumulate_fg_iou(cls_inter0, cls_union0, out, suffix="0")
             loss_meter.update(float(out["loss"].mean()), n=e_batch)
 
             if seen % max(e_batch, 200 // e_batch * e_batch) == 0:
@@ -157,13 +173,10 @@ def episodic_validate(
             out = jax.tree.map(
                 np.asarray, engine.eval_metrics_batch(vars_b, vars_t, episodes, rngs)
             )
-            for i in range(e_batch):
-                c = int(out["cls"][i])
-                cls_inter[c] += float(out["inter0"][i, 1])
-                cls_union[c] += float(out["union0"][i, 1])
-            loss_meter.update(float(out["loss"].mean()), n=e_batch)
-        iou = {c: cls_inter[c] / (cls_union[c] + 1e-10) for c in cls_union}
-        run_mious[run] = float(np.mean(list(iou.values()))) if iou else 0.0
+            accumulate_fg_iou(cls_inter, cls_union, out, suffix="0")
+            # score the raw adapted classifier: its own CE, not the dummy CWT's
+            loss_meter.update(float(out["loss0"].mean()), n=e_batch)
+        run_mious[run] = fg_miou(cls_inter, cls_union)
         run_losses[run] = loss_meter.avg
         log(f"episodic_validate run {run}: mIoU {run_mious[run]:.4f}")
     return float(run_mious.mean()), float(run_losses.mean())

@@ -72,11 +72,14 @@ def episodic_loaders(cfg) -> Tuple[EpisodeLoader, EpisodeLoader]:
     return train_loader, val_loader
 
 
-def init_backbone(cfg, engine, rng: Optional[jax.Array] = None):
+def init_backbone(cfg, engine, rng: Optional[jax.Array] = None,
+                  skip_classifier: bool = True):
     """Init backbone variables; overlay stage-1 torch weights if available.
 
     Resume path schema matches the reference (src/train.py:57-59):
     <resume_weights>/<train_name>/split=<s>/pspnet_<arch><layers>/best.pth.
+    Stage-2 trainers skip the stage-1 classifier (reference filter,
+    src/train.py:66); the CCA trainers keep it (their base rows).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.manual_seed or 0)
     probe = jnp.zeros((1, 33, 33, 3), jnp.float32)
@@ -95,7 +98,8 @@ def init_backbone(cfg, engine, rng: Optional[jax.Array] = None):
             print(f"=> loading weight '{fname}'")
             sd = load_torch_checkpoint(fname)
             imported = import_pspnet(
-                sd, arch=cfg.arch, skip_classifier=True, skip_gamma=True
+                sd, arch=cfg.arch, skip_classifier=skip_classifier,
+                skip_gamma=True,
             )
             variables = _overlay(variables, imported)
             print(f"=> loaded weight '{fname}'")

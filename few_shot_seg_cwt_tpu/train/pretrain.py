@@ -188,6 +188,12 @@ def main(cfg) -> float:
     optimizer = param_group_optimizer(cfg, params, iters_per_epoch)
     opt_state = optimizer.init(params)
     step = make_pretrain_step(model, optimizer, cfg)
+    # data-parallel pretraining: shard the image batch over the device mesh
+    # (batch-stat BN then reduces over the full global batch under jit —
+    # SyncBN semantics for free)
+    mesh_cfg = cfg.clone()
+    mesh_cfg.episode_batch = cfg.batch_size
+    mesh = maybe_mesh(mesh_cfg)
 
     sv_path = os.path.join(
         "./results",
@@ -202,7 +208,12 @@ def main(cfg) -> float:
     # validation machinery built ONCE (rebuilding per epoch would retrace
     # and recompile the identical jitted programs every epoch)
     if cfg.get("episodic_val", False):
-        ep_engine = EpisodicEngine(cfg)
+        # episodic validation adapts a fresh BINARY classifier regardless of
+        # the pretraining head width (reference get_classifier(num_classes=2),
+        # src/test.py:309)
+        ep_cfg = cfg.clone()
+        ep_cfg.num_classes_tr = 2
+        ep_engine = EpisodicEngine(ep_cfg)
         ep_loader = EpisodeLoader(
             episodic_dataset(cfg, train=False), batch_size=cfg.episode_batch,
             shuffle=False, num_workers=cfg.workers,
@@ -219,6 +230,10 @@ def main(cfg) -> float:
         t0 = time.time()
         for i, batch in enumerate(train_loader, start=1):
             key, sub = jax.random.split(key)
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, mesh)
             params, batch_stats, opt_state, metrics = step(
                 params, batch_stats, opt_state, batch["img"], batch["label"], sub
             )
@@ -234,7 +249,7 @@ def main(cfg) -> float:
 
         if cfg.get("episodic_val", False):
             val_miou, _ = episodic_validate(
-                cfg, ep_engine, {"params": params, "batch_stats": batch_stats},
+                ep_cfg, ep_engine, {"params": params, "batch_stats": batch_stats},
                 ep_loader,
             )
         else:

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..config import parse_args
 from ..data.loader import infinite
-from ..episodic.cca import CCAEngine, adaptive_relabel_batch
+from ..episodic.cca import CCAEngine, adaptive_relabel_batch, make_base_preds_fn
 from ..parallel.mesh import shard_batch
 from ..utils.ckpt import save_ckpt
 from ..utils.meters import AverageMeter
@@ -36,8 +36,11 @@ def main(cfg, adaptive: bool = False) -> float:
 
     engine = CCAEngine(cfg, adaptive=adaptive)
     mesh = maybe_mesh(cfg) if not adaptive else None
-    vars_b = init_backbone(cfg, engine)
+    # keep the stage-1 classifier: its rows are the CCA base-class weights
+    vars_b = init_backbone(cfg, engine, skip_classifier=False)
     trainables = init_head_trainables(cfg, engine, vars_b)
+    base_preds_fn = make_base_preds_fn(cfg, engine) if adaptive else None
+    relabel_rng = np.random.default_rng(cfg.manual_seed or 0)
 
     optimizer = build_optimizer(
         cfg, base_lr=cfg.trans_lr * cfg.scale_lr,
@@ -74,8 +77,8 @@ def main(cfg, adaptive: bool = False) -> float:
                 batch = next(it)
             episodes = {k: np.asarray(batch[k]) for k in EP_KEYS}
             if adaptive:
-                episodes["s_label"] = adaptive_relabel_batch(
-                    cfg, engine, vars_b, episodes
+                episodes = adaptive_relabel_batch(
+                    cfg, engine, vars_b, episodes, base_preds_fn, relabel_rng
                 )
             if mesh is not None:
                 episodes = shard_batch(episodes, mesh)
@@ -83,12 +86,13 @@ def main(cfg, adaptive: bool = False) -> float:
             trainables, opt_state, metrics = step(
                 trainables, opt_state, vars_b, episodes, sub, None
             )
-            if i % 100 == 0 or (epoch == 1 and i <= 2):
+            if i % 10 == 0 or (epoch == 1 and i <= 2):
                 m = jax.tree.map(np.asarray, metrics)
                 iou1 = float((m["inter1"] / (m["union1"] + 1e-10)).mean())
                 loss_meter.update(float(m["loss_mean"]))
-                print(f"Ep{epoch}/{i * cfg.episode_batch} loss {loss_meter.val:.3f} "
-                      f"IoU1 {iou1:.3f}")
+                if i % 100 == 0 or (epoch == 1 and i <= 2):
+                    print(f"Ep{epoch}/{i * cfg.episode_batch} loss {loss_meter.val:.3f} "
+                          f"IoU1 {iou1:.3f}")
         print(f"==== Epoch {epoch}: loss {loss_meter.avg:.3f} ({time.time()-t0:.1f}s)")
 
         # validation: binary FG IoU per class
@@ -99,7 +103,9 @@ def main(cfg, adaptive: bool = False) -> float:
             vb = next(stream)
             episodes = {k: np.asarray(vb[k]) for k in EP_KEYS}
             if adaptive:
-                episodes["s_label"] = adaptive_relabel_batch(cfg, engine, vars_b, episodes)
+                episodes = adaptive_relabel_batch(
+                    cfg, engine, vars_b, episodes, base_preds_fn, relabel_rng
+                )
             rngs = jax.random.split(jax.random.fold_in(key, 7_000_000 + b),
                                     val_loader.batch_size)
             out = jax.tree.map(np.asarray, engine.eval_metrics_batch(

@@ -109,17 +109,20 @@ def main(cfg) -> float:
                 trans_params, opt_state, vars_t_extra, vars_b, episodes, sub
             )
 
-            if (epoch == 0 and i % 100 == 0) or i % 500 == 0:
+            if i % 10 == 0 or (epoch == 0 and i < 5):
+                # sample every 10th step for the epoch averages (a per-step
+                # host sync would serialize dispatch over the device link)
                 m = jax.tree.map(np.asarray, metrics)
                 iou = (m["inter"] / (m["union"] + 1e-10)).mean()
                 iou0 = (m["inter0"] / (m["union0"] + 1e-10)).mean()
                 loss_meter.update(float(m["loss"]))
                 iou_meter.update(float(iou))
                 iou0_meter.update(float(iou0))
-                print(
-                    f"iter {i * cfg.episode_batch} loss {float(m['loss']):.4f} "
-                    f"mIoU {iou:.3f} mIoU0 {iou0:.3f}"
-                )
+                if i % 100 == 0 or (epoch == 0 and i < 5):
+                    print(
+                        f"iter {i * cfg.episode_batch} loss {float(m['loss']):.4f} "
+                        f"mIoU {iou:.3f} mIoU0 {iou0:.3f}"
+                    )
 
         print(
             f"Epoch {epoch + 1}: mIoU {iou_meter.avg:.3f}, loss {loss_meter.avg:.3f}, "

@@ -59,6 +59,9 @@ def init_head_trainables(cfg, engine: HeadEngine, vars_b):
         "q_label": jnp.zeros((size, size), jnp.int32),
         "cls": jnp.asarray(1, jnp.int32),
     }
+    if getattr(engine, "adaptive", False):
+        dummy["w0"] = jnp.zeros((cfg.num_classes_tr, cfg.bottleneck_dim), jnp.float32)
+        dummy["row_mask"] = jnp.ones((cfg.num_classes_tr,), bool)
 
     def init_fn(rng):
         # reuse the engine prologue (with a 1-step inner loop for speed)
@@ -213,14 +216,15 @@ def main(cfg, head_type: Optional[str] = None) -> float:
             trainables, opt_state, metrics = step(
                 trainables, opt_state, vars_b, episodes, sub, frozen_vars
             )
-            if i % 100 == 0 or (epoch == 1 and i <= 2):
+            if i % 10 == 0 or (epoch == 1 and i <= 2):
                 m = jax.tree.map(np.asarray, metrics)
                 iou1 = float((m["inter1"] / (m["union1"] + 1e-10)).mean())
                 iou0 = float((m["inter0"] / (m["union0"] + 1e-10)).mean())
                 loss_meter.update(float(m["loss_mean"]))
                 compare.update(iou1, iou0)
-                print(f"Ep{epoch}/{i * cfg.episode_batch} loss {loss_meter.val:.3f} "
-                      f"IoU1 {iou1:.3f} IoU0 {iou0:.3f}")
+                if i % 100 == 0 or (epoch == 1 and i <= 2):
+                    print(f"Ep{epoch}/{i * cfg.episode_batch} loss {loss_meter.val:.3f} "
+                          f"IoU1 {iou1:.3f} IoU0 {iou0:.3f}")
         print(f"==== Epoch {epoch}: loss {loss_meter.avg:.3f} "
               f"({time.time() - t0:.1f}s) ====")
 
