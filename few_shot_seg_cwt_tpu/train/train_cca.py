@@ -19,6 +19,7 @@ import numpy as np
 
 from ..config import parse_args
 from ..data.loader import infinite
+from ..eval.validate import accumulate_fg_iou, fg_miou
 from ..episodic.cca import CCAEngine, adaptive_relabel_batch, make_base_preds_fn
 from ..parallel.mesh import shard_batch
 from ..utils.ckpt import save_ckpt
@@ -110,11 +111,8 @@ def main(cfg, adaptive: bool = False) -> float:
                                     val_loader.batch_size)
             out = jax.tree.map(np.asarray, engine.eval_metrics_batch(
                 trainables, vars_b, episodes, rngs, None))
-            for j in range(val_loader.batch_size):
-                c = int(out["cls"][j])
-                acc_i[c] += float(out["inter1"][j, 1])
-                acc_u[c] += float(out["union1"][j, 1])
-        miou = float(np.mean([acc_i[c] / (acc_u[c] + 1e-10) for c in acc_u])) if acc_u else 0.0
+            accumulate_fg_iou(acc_i, acc_u, out, suffix="1")
+        miou = fg_miou(acc_i, acc_u)
         print(f"val: mIoU {miou:.4f}")
         if miou > best:
             best = miou

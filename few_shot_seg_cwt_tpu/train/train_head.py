@@ -28,6 +28,7 @@ import numpy as np
 
 from ..config import parse_args
 from ..data.loader import infinite
+from ..eval.validate import accumulate_fg_iou, fg_miou
 from ..episodic.heads import HeadEngine
 from ..parallel.mesh import shard_batch
 from ..utils.ckpt import save_ckpt
@@ -129,15 +130,11 @@ def validate_head(cfg, engine: HeadEngine, trainables, vars_b, loader,
         rngs = jax.random.split(jax.random.fold_in(key, b), e_batch)
         out = jax.tree.map(np.asarray, engine.eval_metrics_batch(
             trainables, vars_b, episodes, rngs, frozen_vars))
-        for i in range(e_batch):
-            c = int(out["cls"][i])
-            acc["i"][c] += float(out["inter"][i, 1])
-            acc["u"][c] += float(out["union"][i, 1])
-            acc["i1"][c] += float(out["inter1"][i, 1])
-            acc["u1"][c] += float(out["union1"][i, 1])
+        accumulate_fg_iou(acc["i"], acc["u"], out)
+        accumulate_fg_iou(acc["i1"], acc["u1"], out, suffix="1")
         loss_meter.update(float(out["loss"].mean()), n=e_batch)
-    miou = float(np.mean([acc["i"][c] / (acc["u"][c] + 1e-10) for c in acc["u"]]))
-    miou1 = float(np.mean([acc["i1"][c] / (acc["u1"][c] + 1e-10) for c in acc["u1"]]))
+    miou = fg_miou(acc["i"], acc["u"])
+    miou1 = fg_miou(acc["i1"], acc["u1"])
     log(f"val: mIoU {miou:.4f} mIoU1 {miou1:.4f} loss {loss_meter.avg:.4f}")
     return miou, miou1, loss_meter.avg
 
