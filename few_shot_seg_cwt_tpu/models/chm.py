@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.corr import mutual_nn_filter
+from ..ops.corr import masked_attention_readout, mutual_nn_filter
 from ..ops.resize import upsample_bilinear_ac
 from .conv4d import conv4d
 
@@ -80,6 +80,18 @@ def _spread_weights(weights: jnp.ndarray, groups, ksz: int,
     return kernel
 
 
+def _abs_normal_init(key, shape, dtype=jnp.float32):
+    return jnp.abs(jax.random.normal(key, shape, dtype))
+
+
+def _convnd_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def _shared_weight_init(groups):
     def init(key, shape, dtype=jnp.float32):
         w = jnp.abs(jax.random.normal(key, shape, dtype)) * 1e-3
@@ -101,14 +113,22 @@ class CHM4d(nn.Module):
         # x: (B, h, w, hs, ws, 1)
         groups = kernel_groups(self.ksz, self.ktype)
         if groups is None:
-            kernel_flat = jnp.abs(self.param(
-                "weight", nn.initializers.normal(1.0), (self.ksz**4,)
-            ))
+            # reference takes |w| once at init only (base/chm.py:111); the
+            # kernel itself is unconstrained during training
+            kernel_flat = self.param(
+                "weight", _abs_normal_init, (self.ksz**4,)
+            )
         else:
             w = self.param("weight", _shared_weight_init(groups), (len(groups),))
             kernel_flat = _spread_weights(w, groups, self.ksz)
         kernel = kernel_flat.reshape(self.ksz, self.ksz, self.ksz, self.ksz, 1, 1)
-        bias = self.param("bias", nn.initializers.zeros, ()) if self.use_bias else None
+        # reference bias init: shared kernels keep _ConvNd's uniform bias,
+        # the full kernel resets it to 0 (base/chm.py:109-112)
+        bias_init = (
+            nn.initializers.zeros if groups is None
+            else _convnd_bias_init(self.ksz**4)
+        )
+        bias = self.param("bias", bias_init, ()) if self.use_bias else None
         out = conv4d(x, kernel)
         if bias is not None:
             out = out + bias
@@ -258,7 +278,7 @@ class CHMLearner(nn.Module):
         corr = build_correlation6d(src_feat, trg_feat, scales, convs)
         b, s, _, h, w, _, _ = corr.shape
 
-        corr = CHM6d(ksz6d=3, ksz4d=3, ktype=self.ktype, name="chm6d")(corr)
+        corr = CHM6d(ksz6d=3, ksz4d=5, ktype=self.ktype, name="chm6d")(corr)
         corr = jax.nn.sigmoid(corr)
         corr = corr.reshape(b, s * s, h, w, h, w).max(axis=1)    # scale max-pool
         corr = interpolate4d(corr, h * 2)
@@ -269,12 +289,9 @@ class CHMLearner(nn.Module):
         n = (2 * h) * (2 * w)
         corr2d = mutual_nn_filter(corr.reshape(b, n, n))
 
-        if ig_mask is not None:
-            corr2d = jnp.where(ig_mask[:, None, :], 1e-4, corr2d)
-        attn = jax.nn.softmax(corr2d * self.temp, axis=-1)
-        if v.ndim == 4:
-            v = v.reshape(v.shape[0], -1, v.shape[-1])
-        out = jnp.einsum("bqs,bsc->bqc", attn, v).reshape(b, 2 * h, 2 * w, -1)
+        out = masked_attention_readout(
+            corr2d, v, temp=self.temp, ig_mask=ig_mask
+        ).reshape(b, 2 * h, 2 * w, -1)
         if ret_corr:
             return out, corr2d
         return out

@@ -43,6 +43,8 @@ class DeTr(nn.Module):
             self.reduce_dim, (1, 1), use_bias=False,
             kernel_init=_default_kernel_init, name="adjust",
         )
+        if self.drop:
+            self.adjust_dropout = nn.Dropout(rate=0.5, broadcast_dims=(-3, -2))
         if self.cs_att:
             self.cross_trans = MatchNet(
                 temp=self.temp, cv_type="red", sce=False, sym_mode=True,
@@ -57,9 +59,7 @@ class DeTr(nn.Module):
     def adjust_feature(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         x = nn.relu(self.adjust_conv(x))
         if self.drop:
-            x = nn.Dropout(rate=0.5, broadcast_dims=(-3, -2))(
-                x, deterministic=deterministic
-            )
+            x = self.adjust_dropout(x, deterministic=deterministic)
         return x
 
     def compute_feat(self, fq_feats: Dict, fs_feats: Dict, deterministic: bool):

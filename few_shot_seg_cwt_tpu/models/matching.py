@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.corr import get_corr, l2norm, mutual_matching
+from ..ops.corr import get_corr, l2norm, masked_attention_readout, mutual_matching
 from .conv4d import CenterPivotConv4d, Conv4d
 
 CONV4D = {"red": CenterPivotConv4d, "cv4": Conv4d}
@@ -133,6 +133,8 @@ class MatchNet(nn.Module):
             self.sce_encoder = SpatialContextEncoder(
                 kernel_size=ksz, hidden_dim=2048, name="sce"
             )
+        if self.cyc:
+            self.ass_dropout = nn.Dropout(rate=self.ass_drop)
         self.consensus = NeighConsensus(
             kernel_sizes=tuple(self.cv_kernels), channels=tuple(self.cv_channels),
             symmetric_mode=self.sym_mode, conv=self.cv_type, name="ncons",
@@ -188,11 +190,8 @@ class MatchNet(nn.Module):
         return weighted_v
 
     def _readout(self, corr2d, v, h, w):
-        if v.ndim == 4:
-            v = v.reshape(v.shape[0], -1, v.shape[-1])
-        attn = jax.nn.softmax(corr2d * self.temp, axis=-1)
-        out = jnp.einsum("bqs,bsc->bqc", attn, v, preferred_element_type=jnp.float32)
-        return out.reshape(v.shape[0], h, w, v.shape[-1])
+        out = masked_attention_readout(corr2d, v, temp=self.temp)
+        return out.reshape(out.shape[0], h, w, out.shape[-1])
 
     def run_cyc(self, corr2d, s_mask, deterministic):
         """Cycle-consistency mask: 1.0 where support->query->support flips label."""
@@ -203,4 +202,4 @@ class MatchNet(nn.Module):
         remap = jnp.take_along_axis(q2k, k2q, axis=1)         # support -> support
         remap_mask = jnp.take_along_axis(s_mask, remap, axis=1)
         inconsistent = (s_mask != remap_mask).astype(jnp.float32)
-        return nn.Dropout(rate=self.ass_drop)(inconsistent, deterministic=deterministic)
+        return self.ass_dropout(inconsistent, deterministic=deterministic)

@@ -90,7 +90,10 @@ class CosCls(nn.Module):
         wn_reparam, weight_norm, use_bias, learn_temp = parse_cls_type(self.cls_type)
         w = self.param("weight", conv1x1_default_init, (self.in_dim, self.n_classes))
         if wn_reparam:
-            g = self.param("weight_g", nn.initializers.ones, (self.n_classes,))
+            # torch WeightNorm inits g = ||v|| so the initial function is
+            # unchanged by the reparameterization
+            g = self.param("weight_g", lambda _rng, _shape: jnp.linalg.norm(w, axis=0),
+                           (self.n_classes,))
             w = w * g / jnp.linalg.norm(w, axis=0, keepdims=True)
         if weight_norm:
             w = w / jnp.maximum(jnp.linalg.norm(w, axis=0, keepdims=True), 1e-5)
@@ -116,7 +119,8 @@ class DotCls(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.param("weight", conv1x1_default_init, (self.in_dim, self.n_classes))
         if self.weight_norm_reparam:
-            g = self.param("weight_g", nn.initializers.ones, (self.n_classes,))
+            g = self.param("weight_g", lambda _rng, _shape: jnp.linalg.norm(w, axis=0),
+                           (self.n_classes,))
             w = w * g / jnp.linalg.norm(w, axis=0, keepdims=True)
         return jnp.einsum("...c,ck->...k", x, w)
 

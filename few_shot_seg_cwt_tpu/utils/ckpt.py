@@ -93,12 +93,14 @@ def import_pspnet(
                 _set(params, ("classifier", "weight_g"), _np(val).reshape(-1))
             elif parts[1] == "bias":
                 _set(params, ("classifier", "bias"), _np(val))
-            elif parts[-1] in ("weight", "bias") and parts[1] == "cls":
-                # CosCls wraps its conv in `.cls`
+            elif parts[1] == "cls":
+                # CosCls wraps its conv in `.cls` (optionally WeightNorm'd)
                 w = _np(val)
-                if parts[-1] == "weight":
+                if parts[-1] in ("weight", "weight_v"):
                     _set(params, ("classifier", "weight"), w[:, :, 0, 0].T)
-                else:
+                elif parts[-1] == "weight_g":
+                    _set(params, ("classifier", "weight_g"), w.reshape(-1))
+                elif parts[-1] == "bias":
                     _set(params, ("classifier", "bias"), w)
             elif parts[1] == "scale_factor":
                 _set(params, ("classifier", "scale_factor"), _np(val))

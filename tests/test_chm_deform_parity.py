@@ -157,3 +157,22 @@ def test_chm_learner_runs(rng):
     out = mod.apply(variables, src, trg, v)
     assert out.shape == (1, 16, 16, 24)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_chm6d_reference_kernel_size_matches(rng):
+    """The CHMLearner wiring uses ksz4d=5 (reference ksz_translation)."""
+    import torch
+    from src.model.base.chm import CHM6d as RefCHM6d
+
+    torch.manual_seed(14)
+    ref_mod = RefCHM6d(1, 1, 3, 5, "psi")
+    ref_mod.eval()
+    x = rng.standard_normal((1, 1, 3, 3, 6, 6, 6, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_mod(torch.from_numpy(x)).numpy()
+
+    mod = CHM6d(ksz6d=3, ksz4d=5, ktype="psi")
+    params = {f"param_{i}": p.detach().numpy() for i, p in enumerate(ref_mod.param)}
+    params["bias"] = ref_mod.bias.detach().numpy().reshape(())
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x[:, 0])))
+    np.testing.assert_allclose(got, ref[:, 0], rtol=1e-3, atol=1e-5)

@@ -305,3 +305,57 @@ def test_fusenet1_matches_reference(rng):
         [jnp.asarray(p.transpose(0, 2, 3, 1)) for p in pds],
     ))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_matchnet_cyc_path_runs(rng):
+    """cyc=True (cycle-consistency mask) must init and apply cleanly."""
+    from few_shot_seg_cwt_tpu.models.matching import MatchNet
+
+    mod = MatchNet(temp=3.0, cyc=True)
+    fq = jnp.asarray(rng.standard_normal((1, 5, 5, 8)).astype(np.float32))
+    fs = jnp.asarray(rng.standard_normal((1, 5, 5, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 5, 5, 4)).astype(np.float32))
+    s_mask = jnp.asarray(rng.integers(0, 2, size=(1, 5, 5)).astype(np.int32))
+    variables = mod.init(jax.random.PRNGKey(0), fq, fs, v, s_mask=s_mask,
+                         use_cyc=True)
+    out = mod.apply(variables, fq, fs, v, s_mask=s_mask, use_cyc=True,
+                    deterministic=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_detr_drop_path_runs(rng):
+    """drop=True (adjust-feature dropout) must init and apply cleanly."""
+    from few_shot_seg_cwt_tpu.models.detr import DeTr
+
+    mod = DeTr(rmid="l4", reduce_dim=16, drop=True)
+    fq_feats = {4: [jnp.asarray(rng.standard_normal((1, 5, 5, 32)).astype(np.float32))]}
+    fs_feats = {4: [jnp.asarray(rng.standard_normal((1, 5, 5, 32)).astype(np.float32))]}
+    f_q = jnp.asarray(rng.standard_normal((1, 5, 5, 16)).astype(np.float32))
+    f_s = jnp.asarray(rng.standard_normal((1, 5, 5, 16)).astype(np.float32))
+    variables = mod.init(jax.random.PRNGKey(0), fq_feats, fs_feats, f_q, f_s)
+    out, _, _ = mod.apply(variables, fq_feats, fs_feats, f_q, f_s,
+                          deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_coscls_weightnorm_import_matches_reference(rng):
+    """CosCls with WeightNorm ('r' cls_type): import + forward parity."""
+    import torch
+    from src.model.pspnet import CosCls as RefCosCls
+
+    torch.manual_seed(31)
+    ref = RefCosCls(in_dim=8, n_classes=3, cls_type="ro0o")
+    ref.eval()
+    x = rng.standard_normal((1, 8, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    from few_shot_seg_cwt_tpu.models.pspnet import CosCls
+    from few_shot_seg_cwt_tpu.utils.ckpt import import_pspnet
+
+    sd = {f"classifier.{k}": v for k, v in ref.state_dict().items()}
+    tree = import_pspnet(sd)
+    mod = CosCls(in_dim=8, n_classes=3, cls_type="ro0o")
+    got = np.asarray(mod.apply({"params": tree["params"]["classifier"]},
+                               jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref_out, rtol=1e-4, atol=1e-5)
