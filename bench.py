@@ -1,19 +1,27 @@
-"""Benchmark: 1-shot episodic evaluation throughput at the paper protocol.
+"""Benchmark: episodic throughput at the paper protocol (eval or train step).
 
-Measures episodes/sec/chip of the full CWT eval pipeline — frozen ResNet-50
+Measures episodes/sec/chip of the full CWT pipeline — frozen ResNet-50
 PSPNet features for support+query at 473px, the fused 200-step classifier
 inner loop, the CWT weight update, and query logits — on the attached TPU.
+BENCH_MODE=train instead times the meta-training step (value_and_grad through
+the CWT over the vmapped episode program; reference hot path:
+src/train.py:222-267).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "episodes/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "episodes/sec/chip",
+     "vs_baseline": N, "baseline": "...", "mfu": N, "flops_per_episode": N,
+     "compile_s": N}
 
-Baseline: the PyTorch reference evaluates ~1 episode/sec on a V100
-(src/test.py "Average runtime / run" over 1000 episodes with batch 1 and 200
-Python-level SGD steps per episode; see BASELINE.md). REF_EPISODES_PER_SEC
-encodes that estimate; vs_baseline = value / REF_EPISODES_PER_SEC.
+Baseline: the PyTorch reference publishes no throughput number; BASELINE.md
+documents an estimate of ~1 episode/sec on a V100 (batch 1, 200 Python-level
+SGD steps per episode, src/test.py "Average runtime / run"). vs_baseline
+divides by that ESTIMATE — the 'baseline' field labels it as such. The
+durable perf claim is the MFU field: XLA-cost-analysis FLOPs of the compiled
+program / measured time / chip peak (bf16 peak for the device kind).
 
-Env knobs: BENCH_EPISODE_BATCH (default 16), BENCH_BATCHES (default 8),
-BENCH_IMAGE_SIZE (default 473), BENCH_DTYPE (float32|bfloat16).
+Env knobs: BENCH_MODE (eval|train, default eval), BENCH_EPISODE_BATCH
+(default 32), BENCH_BATCHES (default 8), BENCH_IMAGE_SIZE (default 473),
+BENCH_DTYPE (float32|bfloat16), BENCH_SHOT (default 1).
 """
 
 from __future__ import annotations
@@ -25,7 +33,39 @@ import time
 
 import numpy as np
 
-REF_EPISODES_PER_SEC = 1.0  # PyTorch reference on V100 (documented estimate)
+REF_EPISODES_PER_SEC = 1.0  # documented ESTIMATE: torch reference on V100
+BASELINE_LABEL = "estimated 1.0 eps/s (torch ref, V100, batch 1; BASELINE.md)"
+
+# chip peak matmul throughput (FLOP/s) by device_kind substring, bf16.
+# fp32 runs through multi-pass MXU at a fraction of this; MFU is reported
+# against the bf16 peak in both cases (conservative for fp32 runs).
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6": 918e12,        # v6e (Trillium)
+    "cpu": 1e11,
+}
+
+
+def _device_peak(dev) -> float:
+    kind = getattr(dev, "device_kind", "cpu")
+    for k, v in PEAK_FLOPS.items():
+        if k.lower() in str(kind).lower():
+            return v
+    return 0.0
+
+
+def _cost_flops(compiled) -> float:
+    """Total FLOPs of a compiled program per XLA's cost analysis (0 if n/a)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main() -> None:
@@ -46,7 +86,9 @@ def main() -> None:
     from few_shot_seg_cwt_tpu.data.synthetic import make_episode_batch
     from few_shot_seg_cwt_tpu.episodic.engine import EpisodicEngine
     from few_shot_seg_cwt_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+    from few_shot_seg_cwt_tpu.train.optim import build_optimizer
 
+    mode = os.environ.get("BENCH_MODE", "eval")
     e_batch = int(os.environ.get("BENCH_EPISODE_BATCH", "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
     size = int(os.environ.get("BENCH_IMAGE_SIZE", "473"))
@@ -93,30 +135,84 @@ def main() -> None:
         else:
             episodes = jax.device_put(episodes)
         episode_batches.append(episodes)
-    rng_arrays = [
-        jax.device_put(jax.random.split(jax.random.PRNGKey(100 + i), e_total))
-        for i in range(n_batches + 1)
-    ]
 
-    # warm-up / compile
-    out = engine.eval_batch(vars_b, vars_t, episode_batches[0], rng_arrays[-1])
-    np.asarray(out["pred_q"])
+    if mode == "train":
+        optimizer = build_optimizer(cfg, base_lr=cfg.trans_lr, use_schedule=False)
+        trans_params = vars_t["params"]
+        vars_t_extra = {k: v for k, v in vars_t.items() if k != "params"}
+        opt_state = optimizer.init(trans_params)
+        if mesh is not None:
+            opt_state = replicate(opt_state, mesh)
+        train_step = engine.make_train_step(optimizer)
+        step_rngs = [jax.random.PRNGKey(100 + i) for i in range(n_batches + 1)]
 
-    t0 = time.time()
-    for i in range(n_batches):
-        out = engine.eval_batch(
-            vars_b, vars_t, episode_batches[i % len(episode_batches)], rng_arrays[i]
+        t_c = time.time()
+        lowered = train_step.lower(
+            trans_params, opt_state, vars_t_extra, vars_b,
+            episode_batches[0], step_rngs[-1],
         )
-        np.asarray(out["pred_q"][0, 0, 0])  # force completion of each step
-    elapsed = time.time() - t0
+        compiled = lowered.compile()
+        compile_s = time.time() - t_c
+        flops_total = _cost_flops(compiled)
+
+        # warm-up execution
+        p, s_, m = compiled(trans_params, opt_state, vars_t_extra, vars_b,
+                            episode_batches[0], step_rngs[-1])
+        np.asarray(m["loss"])
+
+        t0 = time.time()
+        for i in range(n_batches):
+            trans_params, opt_state, metrics = compiled(
+                trans_params, opt_state, vars_t_extra, vars_b,
+                episode_batches[i % len(episode_batches)], step_rngs[i],
+            )
+            np.asarray(metrics["loss"])  # force completion of each step
+        elapsed = time.time() - t0
+        metric_name = (f"train-step episodes/sec/chip ({shot}-shot @{size}px, "
+                       f"adapt_iter={cfg.adapt_iter}, {dtype})")
+    else:
+        rng_arrays = [
+            jax.device_put(jax.random.split(jax.random.PRNGKey(100 + i), e_total))
+            for i in range(n_batches + 1)
+        ]
+
+        t_c = time.time()
+        lowered = engine.eval_batch.lower(
+            vars_b, vars_t, episode_batches[0], rng_arrays[-1]
+        )
+        compiled = lowered.compile()
+        compile_s = time.time() - t_c
+        flops_total = _cost_flops(compiled)
+
+        out = compiled(vars_b, vars_t, episode_batches[0], rng_arrays[-1])
+        np.asarray(out["pred_q"])
+
+        t0 = time.time()
+        for i in range(n_batches):
+            out = compiled(
+                vars_b, vars_t, episode_batches[i % len(episode_batches)], rng_arrays[i]
+            )
+            np.asarray(out["pred_q"][0, 0, 0])  # force completion of each step
+        elapsed = time.time() - t0
+        metric_name = (f"episodes/sec/chip ({shot}-shot eval @{size}px, "
+                       f"adapt_iter={cfg.adapt_iter}, {dtype})")
 
     eps_per_sec = n_batches * e_total / elapsed
     eps_per_sec_chip = eps_per_sec / n_chips
+
+    peak = _device_peak(devices[0])
+    flops_per_episode = flops_total / e_total if flops_total else 0.0
+    mfu = (flops_per_episode * eps_per_sec_chip / peak) if (peak and flops_total) else 0.0
+
     result = {
-        "metric": f"episodes/sec/chip ({shot}-shot eval @{size}px, adapt_iter=200, {dtype})",
+        "metric": metric_name,
         "value": round(eps_per_sec_chip, 3),
         "unit": "episodes/sec/chip",
         "vs_baseline": round(eps_per_sec_chip / REF_EPISODES_PER_SEC, 2),
+        "baseline": BASELINE_LABEL,
+        "mfu": round(mfu, 4),
+        "flops_per_episode": flops_per_episode,
+        "compile_s": round(compile_s, 1),
     }
     print(json.dumps(result))
 

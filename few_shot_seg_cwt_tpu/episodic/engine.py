@@ -194,9 +194,40 @@ class EpisodicEngine:
             "loss": loss, "loss0": loss0, "cls": episode["cls"],
         }
 
+    def eval_episode_metrics_no_cwt(self, vars_b, episode, rng) -> Dict[str, jnp.ndarray]:
+        """Inner loop + raw-classifier metrics only — no transformer.
+
+        Stage-1/pretrain QA path: the reference's episodic_validate
+        (src/test.py:257-371) has no transformer at all; scoring stops at the
+        adapted inner-loop classifier. Skipping the CWT forward removes pure
+        wasted compute from the hottest validation loop.
+        """
+        w0 = init_classifier_weights(rng, self.num_classes, self.bottleneck_dim)
+        f_s, f_q = self._episode_features(vars_b, episode)
+        w = jax.lax.stop_gradient(
+            _adapt(f_s, episode["s_label"], w0, self.adapt_iter, self.cls_lr)
+        )
+        pred_q0 = apply_classifier(w, f_q)[0]
+        q_label = episode["q_label"]
+        size = q_label.shape[-2:]
+        logits0 = upsample_bilinear_ac(pred_q0[None].astype(jnp.float32), size)[0]
+        inter0, union0, _ = intersection_and_union(
+            jnp.argmax(logits0, -1), q_label, self.num_classes
+        )
+        ones = jnp.ones((self.num_classes,), jnp.float32)
+        loss0 = weighted_cross_entropy(logits0, q_label, ones)
+        return {"inter0": inter0, "union0": union0, "loss0": loss0,
+                "cls": episode["cls"]}
+
     # ------------------------------------------------------------------ #
     # batched jitted programs
     # ------------------------------------------------------------------ #
+
+    @functools.cached_property
+    def eval_metrics_batch_no_cwt(self):
+        """jit(vmap(eval_episode_metrics_no_cwt)): CWT-free stage-1 validation."""
+        fn = jax.vmap(self.eval_episode_metrics_no_cwt, in_axes=(None, 0, 0))
+        return jax.jit(fn)
 
     @functools.cached_property
     def eval_metrics_batch(self):

@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 from ..data.loader import EpisodeLoader, infinite
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import shard_batch, to_host
 from ..utils.meters import AverageMeter
 
 
@@ -62,7 +62,8 @@ def validate_transformer(
 ) -> Tuple[float, float]:
     """Full CWT evaluation; returns (mean mIoU over runs, mean loss)."""
     test_num = cfg.test_num
-    e_batch = loader.batch_size
+    e_local = loader.batch_size                       # per-process episodes
+    e_batch = e_local * jax.process_count()           # global episodes/step
     nb_batches = max(1, test_num // e_batch)
     base_key = jax.random.PRNGKey(cfg.manual_seed if cfg.manual_seed is not None else 0)
 
@@ -91,11 +92,13 @@ def validate_transformer(
             episodes = _episode_fields(batch)
             if mesh is not None:
                 episodes = shard_batch(episodes, mesh)
-            rngs = jax.random.fold_in(base_key, run * 1_000_003 + b)
-            rngs = jax.random.split(rngs, e_batch)
+            rngs = jax.random.fold_in(
+                base_key, (run * 1_000_003 + b) * 65_537 + jax.process_index()
+            )
+            rngs = jax.random.split(rngs, e_local)
             t0 = time.time()
             out = engine.eval_metrics_batch(vars_b, vars_t, episodes, rngs)
-            out = jax.tree.map(np.asarray, out)  # forces completion
+            out = to_host(out)  # forces completion; allgathers on >1 process
             t_run += time.time() - t0
             seen += e_batch
 
@@ -140,20 +143,15 @@ def episodic_validate(
     """No-transformer episodic eval (raw adapted classifier; pretrain QA).
 
     Matches src/test.py:257-371: identical protocol but the prediction is the
-    inner-loop classifier's own query logits.
+    inner-loop classifier's own query logits. Runs the CWT-free engine program
+    (the reference analog has no transformer either), so no transformer
+    compute is wasted on the hottest validation loop.
     """
-    # reuse the transformer path with an identity CWT by scoring pred_q0
     test_num = cfg.test_num
-    e_batch = loader.batch_size
+    e_local = loader.batch_size
+    e_batch = e_local * jax.process_count()
     nb_batches = max(1, test_num // e_batch)
     base_key = jax.random.PRNGKey(cfg.manual_seed if cfg.manual_seed is not None else 0)
-
-    # dummy transformer variables: engine still needs some; build once
-    import jax.numpy as jnp
-
-    f = jnp.zeros((1, 2, cfg.bottleneck_dim), jnp.float32)
-    k = jnp.zeros((1, 4, 4, cfg.bottleneck_dim), jnp.float32)
-    vars_t = engine.cwt.init(jax.random.PRNGKey(0), f, k, k)
 
     run_mious = np.zeros(cfg.n_runs)
     run_losses = np.zeros(cfg.n_runs)
@@ -168,11 +166,12 @@ def episodic_validate(
             if mesh is not None:
                 episodes = shard_batch(episodes, mesh)
             rngs = jax.random.split(
-                jax.random.fold_in(base_key, run * 1_000_003 + b), e_batch
+                jax.random.fold_in(
+                    base_key, (run * 1_000_003 + b) * 65_537 + jax.process_index()
+                ),
+                e_local,
             )
-            out = jax.tree.map(
-                np.asarray, engine.eval_metrics_batch(vars_b, vars_t, episodes, rngs)
-            )
+            out = to_host(engine.eval_metrics_batch_no_cwt(vars_b, episodes, rngs))
             accumulate_fg_iou(cls_inter, cls_union, out, suffix="0")
             # score the raw adapted classifier: its own CE, not the dummy CWT's
             loss_meter.update(float(out["loss0"].mean()), n=e_batch)

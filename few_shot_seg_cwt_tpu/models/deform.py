@@ -87,6 +87,43 @@ def sine_positional_encoding(
     return jnp.concatenate([pos_y, pos_x], axis=-1)
 
 
+class LearnedPositionalEncoding(nn.Module):
+    """Learnable row/col position embeddings (NHWC).
+
+    Parity target: reference src/model/positional_encoding.py:88-150 — two
+    embedding tables (row, col) of ``num_feats`` each, uniform(0,1) init; the
+    output concatenates [col_embed(x), row_embed(y)] per position to
+    (B, h, w, num_feats*2). Unused by any reference trainer; kept for API
+    completeness alongside the sine encoding.
+    """
+
+    num_feats: int
+    row_num_embed: int = 50
+    col_num_embed: int = 50
+
+    @nn.compact
+    def __call__(self, mask: jnp.ndarray) -> jnp.ndarray:
+        h, w = mask.shape[-2:]
+        row = self.param(
+            "row_embed", nn.initializers.uniform(scale=1.0),
+            (self.row_num_embed, self.num_feats),
+        )
+        col = self.param(
+            "col_embed", nn.initializers.uniform(scale=1.0),
+            (self.col_num_embed, self.num_feats),
+        )
+        x_embed = col[:w]                                   # (w, F)
+        y_embed = row[:h]                                   # (h, F)
+        pos = jnp.concatenate(
+            [
+                jnp.broadcast_to(x_embed[None, :, :], (h, w, self.num_feats)),
+                jnp.broadcast_to(y_embed[:, None, :], (h, w, self.num_feats)),
+            ],
+            axis=-1,
+        )
+        return jnp.broadcast_to(pos[None], (mask.shape[0], h, w, 2 * self.num_feats))
+
+
 def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
     """Reference grid init: per-head unit directions scaled by point index."""
     thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)

@@ -4,6 +4,9 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
     replicate,
+    distributed_init,
+    is_main_process,
+    to_host,
 )
 
 __all__ = [
@@ -12,4 +15,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "distributed_init",
+    "is_main_process",
+    "to_host",
 ]

@@ -13,7 +13,7 @@ import numpy as np
 from ..data.episodic import EpisodicDataset, StandardDataset
 from ..data.loader import EpisodeLoader
 from ..data.synthetic import SyntheticEpisodicDataset
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import distributed_init, make_mesh
 from ..utils.ckpt import import_pspnet, load_torch_checkpoint
 from ..utils.dirs import get_model_dir_trans
 
@@ -38,7 +38,14 @@ def maybe_mesh(cfg):
 
     The data axis must divide the episode batch; uses the largest such
     device count (e.g. batch 2 on 8 devices -> 2-device mesh).
+
+    Multi-host: ``distributed_init`` (cfg-gated) runs first, so
+    ``jax.devices()`` is the *global* device set and the same data axis spans
+    slices over DCN (the reference's DDP analog, src/train_ddp.py:358-366).
+    Loaders stay host-local (see ``episodic_loaders``); shard_batch assembles
+    global arrays from the per-process slices.
     """
+    distributed_init(cfg)
     if cfg.get("mesh_shape"):
         return make_mesh(cfg.mesh_shape, tuple(cfg.get("mesh_axes", ["data"])))
     n_dev = len(jax.devices())
@@ -62,11 +69,26 @@ def episodic_dataset(cfg, train: bool):
 
 
 def episodic_loaders(cfg) -> Tuple[EpisodeLoader, EpisodeLoader]:
+    """Train/val episode loaders; host-local batches on multi-host.
+
+    With P processes each host builds episode_batch/P episodes per step and a
+    per-process seed offset decorrelates the sampling streams — the
+    DistributedSampler + per-rank-seed analog (reference:
+    src/dataset/dataset.py:57-68, src/train_ddp.py:59-66). shard_batch then
+    assembles the global batch from the process-local slices.
+    """
     train_ds = episodic_dataset(cfg, train=True)
     val_ds = episodic_dataset(cfg, train=False)
-    e = cfg.episode_batch
+    e = int(cfg.episode_batch)
+    nproc = jax.process_count()
+    if nproc > 1:
+        assert e % nproc == 0, (
+            f"episode_batch {e} must divide over {nproc} processes"
+        )
+        e //= nproc
+    seed = (cfg.manual_seed or 0) + jax.process_index()
     train_loader = EpisodeLoader(train_ds, batch_size=e, shuffle=True,
-                                 num_workers=cfg.workers, seed=cfg.manual_seed or 0)
+                                 num_workers=cfg.workers, seed=seed)
     val_loader = EpisodeLoader(val_ds, batch_size=e, shuffle=False,
                                num_workers=cfg.workers)
     return train_loader, val_loader

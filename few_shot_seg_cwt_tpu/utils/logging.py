@@ -17,7 +17,16 @@ def log_to(path: Optional[str]) -> None:
 
 
 def get_logger():
-    """Returns a print-like callable that also appends to <path>/log.txt."""
+    """Returns a print-like callable that also appends to <path>/log.txt.
+
+    Multi-host: only process 0 prints/writes (the reference's rank-0
+    ``main_process()`` gating, src/train_ddp.py:40-44); other processes get a
+    no-op so trainers stay process-count-agnostic.
+    """
+    import jax
+
+    if jax.process_index() != 0:
+        return lambda obj, filename="log.txt": None
 
     def log(obj, filename: str = "log.txt"):
         print(obj, flush=True)
