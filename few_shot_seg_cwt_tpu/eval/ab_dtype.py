@@ -1,0 +1,156 @@
+"""fp32 vs bf16 A/B: identical weights + episodes through both engines.
+
+The bf16 backbone (``compute_dtype bfloat16`` / the reference's ``use_amp``
+knob, reference: src/train_kshot.py:146-190) is opt-in until its accuracy cost
+is measured against the mIoU protocol. This harness produces that evidence:
+it runs the SAME weights and the SAME episode stream through an fp32 engine
+and a bf16 engine and reports
+
+  * protocol mIoU for both (per-class FG I/U accumulation, src/test.py:225-243)
+  * the mIoU delta in points,
+  * the argmax flip rate between the two predictions (feature resolution).
+
+Weights default to random init through the normal init path; pass ``--pth``
+(stage-1 PSPNet .pth) and ``--trans-pth`` (CWT .pth) to run the A/B on real
+imported weights the day the released checkpoints are available — the command
+line does not change.
+
+Usage::
+
+    python -m few_shot_seg_cwt_tpu.eval.ab_dtype [--episodes 128]
+        [--batch 16] [--image-size 473] [--shot 1]
+        [--pth stage1.pth] [--trans-pth best.pth]
+
+Prints one JSON line with the measurements.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def run_ab(cfg, n_episodes: int, e_batch: int,
+           pth: Optional[str] = None, trans_pth: Optional[str] = None,
+           log=print) -> Dict[str, float]:
+    import jax
+    import jax.numpy as jnp
+
+    from ..episodic.engine import EpisodicEngine
+    from ..data.synthetic import make_episode_batch
+    from ..train.common import _overlay, init_backbone, init_cwt
+    from ..utils.ckpt import import_cwt, import_pspnet, load_torch_checkpoint
+    from .validate import accumulate_fg_iou, fg_miou
+
+    cfg32 = type(cfg)({**cfg, "compute_dtype": "float32", "use_amp": False})
+    cfg_bf = type(cfg)({**cfg, "compute_dtype": "bfloat16"})
+    engine32 = EpisodicEngine(cfg32)
+    # share module objects so one variable tree drives both engines
+    engine_bf = EpisodicEngine(cfg_bf, backbone=engine32.backbone,
+                               cwt=engine32.cwt)
+
+    vars_b = init_backbone(
+        type(cfg)({**cfg, "resume_weights": None}), engine32
+    )
+    if pth:
+        sd = load_torch_checkpoint(pth)
+        vars_b = _overlay(
+            vars_b, import_pspnet(sd, arch=cfg.arch, skip_classifier=True)
+        )
+        log(f"=> A/B on imported stage-1 weights '{pth}'")
+    vars_t = (
+        import_cwt(load_torch_checkpoint(trans_pth)) if trans_pth
+        else init_cwt(cfg, engine32)
+    )
+    if trans_pth:
+        log(f"=> A/B on imported CWT weights '{trans_pth}'")
+
+    n_batches = max(1, n_episodes // e_batch)
+    base_key = jax.random.PRNGKey(cfg.manual_seed or 0)
+
+    acc = {
+        name: (defaultdict(float), defaultdict(float))
+        for name in ("fp32", "bf16", "fp32_raw", "bf16_raw")
+    }
+    flips = 0
+    pixels = 0
+    for b in range(n_batches):
+        host = make_episode_batch(
+            seed=b + 1, e=e_batch, size=cfg.image_size, shot=cfg.shot
+        )
+        episodes = {
+            k: jnp.asarray(host[k])
+            for k in ("s_img", "s_label", "q_img", "q_label", "cls")
+        }
+        rngs = jax.random.split(jax.random.fold_in(base_key, b), e_batch)
+
+        m32 = jax.tree.map(np.asarray,
+                           engine32.eval_metrics_batch(vars_b, vars_t,
+                                                       episodes, rngs))
+        mbf = jax.tree.map(np.asarray,
+                           engine_bf.eval_metrics_batch(vars_b, vars_t,
+                                                        episodes, rngs))
+        accumulate_fg_iou(*acc["fp32"], m32)
+        accumulate_fg_iou(*acc["bf16"], mbf)
+        accumulate_fg_iou(*acc["fp32_raw"], m32, suffix="0")
+        accumulate_fg_iou(*acc["bf16_raw"], mbf, suffix="0")
+
+        p32 = np.asarray(
+            engine32.eval_batch(vars_b, vars_t, episodes, rngs)["pred_q"]
+        ).argmax(-1)
+        pbf = np.asarray(
+            engine_bf.eval_batch(vars_b, vars_t, episodes, rngs)["pred_q"]
+        ).argmax(-1)
+        flips += int((p32 != pbf).sum())
+        pixels += p32.size
+        log(f"A/B batch {b + 1}/{n_batches}: "
+            f"mIoU fp32 {fg_miou(*acc['fp32']):.4f} "
+            f"bf16 {fg_miou(*acc['bf16']):.4f}")
+
+    miou32 = fg_miou(*acc["fp32"])
+    mioubf = fg_miou(*acc["bf16"])
+    return {
+        "episodes": n_batches * e_batch,
+        "miou_fp32": round(miou32, 4),
+        "miou_bf16": round(mioubf, 4),
+        "delta_pts": round((mioubf - miou32) * 100, 3),
+        "miou_raw_fp32": round(fg_miou(*acc["fp32_raw"]), 4),
+        "miou_raw_bf16": round(fg_miou(*acc["bf16_raw"]), 4),
+        "argmax_flip_rate": round(flips / max(pixels, 1), 5),
+        "weights": "imported .pth" if pth else "random init",
+        "shot": cfg.shot,
+        "image_size": cfg.image_size,
+    }
+
+
+def main(argv=None) -> Dict[str, float]:
+    from ..config import default_cfg
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--episodes", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--image-size", type=int, default=473)
+    ap.add_argument("--shot", type=int, default=1)
+    ap.add_argument("--pth", default=None, help="stage-1 PSPNet .pth")
+    ap.add_argument("--trans-pth", default=None, help="CWT transformer .pth")
+    ns = ap.parse_args(argv)
+
+    cfg = default_cfg()
+    cfg.image_size = ns.image_size
+    cfg.shot = ns.shot
+    cfg.pretrained = False
+
+    result = run_ab(cfg, ns.episodes, ns.batch,
+                    pth=ns.pth, trans_pth=ns.trans_pth,
+                    log=lambda *a: print(*a, file=sys.stderr))
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -21,15 +21,18 @@ def _smoke_cfg(**over):
     return merge_cfg_from_list(cfg, opts)
 
 
+# one representative head stays in the default tier; the full variant sweep
+# is `slow` (CHM alone costs ~2 min of CPU compile)
 @pytest.mark.parametrize("head,extra", [
     ("mmn", {}),
-    ("mmn", {"wa": "True", "loss_shot": "'sum'", "aux": "0.5", "loss_type": "'wt_dc'"}),
-    ("detr", {"sf_att": "True"}),
-    ("match", {}),
-    ("att", {}),
-    ("asy", {}),
-    ("fuse", {}),
-    ("chm", {"image_size": "41"}),
+    pytest.param("mmn", {"wa": "True", "loss_shot": "'sum'", "aux": "0.5",
+                         "loss_type": "'wt_dc'"}, marks=pytest.mark.slow),
+    pytest.param("detr", {"sf_att": "True"}, marks=pytest.mark.slow),
+    pytest.param("match", {}, marks=pytest.mark.slow),
+    pytest.param("att", {}, marks=pytest.mark.slow),
+    pytest.param("asy", {}, marks=pytest.mark.slow),
+    pytest.param("fuse", {}, marks=pytest.mark.slow),
+    pytest.param("chm", {"image_size": "41"}, marks=pytest.mark.slow),
 ])
 def test_head_trainer_smoke(head, extra):
     from few_shot_seg_cwt_tpu.train.train_head import main
@@ -44,6 +47,7 @@ def test_head_trainer_smoke(head, extra):
     assert np.isfinite(best)
 
 
+@pytest.mark.slow
 def test_kshot_alias_uses_mmn():
     from few_shot_seg_cwt_tpu.train.train_kshot import main
 
@@ -66,6 +70,7 @@ def test_cca_trainer_smoke():
     assert np.isfinite(main(cfg))
 
 
+@pytest.mark.slow
 def test_cca1_trainer_smoke():
     from few_shot_seg_cwt_tpu.train.train_cca1 import main
 
@@ -73,6 +78,7 @@ def test_cca1_trainer_smoke():
     assert np.isfinite(main(cfg))
 
 
+@pytest.mark.slow
 def test_aug_att_type_adaptive_smoke():
     """train_aug with meta_aug view selection (att_type 3 adaptive)."""
     from few_shot_seg_cwt_tpu.train.train_aug import main

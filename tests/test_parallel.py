@@ -86,6 +86,7 @@ def test_sharded_train_step_matches_unsharded(setup):
     assert max(jax.tree.leaves(diffs)) < 1e-5
 
 
+@pytest.mark.slow  # the driver runs dryrun_multichip directly every round
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 

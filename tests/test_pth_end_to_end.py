@@ -16,7 +16,10 @@ import pytest
 
 from tests.ref_compat import HAVE_REF
 
-pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference tree not mounted")
+pytestmark = [
+    pytest.mark.skipif(not HAVE_REF, reason="reference tree not mounted"),
+    pytest.mark.slow,  # ~2 min of torch-module serialization + full eval entry
+]
 
 import jax
 import jax.numpy as jnp
