@@ -99,6 +99,8 @@ def main() -> None:
     cfg.image_size = size
     cfg.compute_dtype = dtype
     cfg.shot = shot
+    # time-decomposition knob: 0 isolates backbone+CWT cost (protocol is 200)
+    cfg.adapt_iter = int(os.environ.get("BENCH_ADAPT_ITER", cfg.adapt_iter))
     engine = EpisodicEngine(cfg)
 
     devices = jax.devices()

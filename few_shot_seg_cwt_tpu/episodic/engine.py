@@ -83,23 +83,17 @@ class EpisodicEngine:
     # ------------------------------------------------------------------ #
 
     def _episode_features(self, vars_b, episode, support_dropout=False, rng=None):
-        """Backbone features for an episode.
+        """Backbone features for an episode — ONE batched pass over support+query.
 
-        Eval path: one pass over support+query. Train path (support_dropout):
-        support runs with bottleneck dropout active, the query runs a separate
-        deterministic pass — shot+1 forwards total, never a wasted one.
+        Train path (support_dropout): the only train/eval difference in the
+        frozen backbone is the bottleneck's channel dropout (BN stats frozen
+        either way; reference runs support in train() mode, src/train.py:219,
+        and query in eval mode, :245). Instead of two backbone dispatches,
+        run the deterministic pipeline batched over shot+1 images and apply
+        the equivalent channel-dropout mask (Bernoulli keep per (sample,
+        channel), scaled 1/keep — exactly nn.Dropout(broadcast_dims=(-3,-2)))
+        to the support rows only.
         """
-        if support_dropout and rng is not None:
-            vars_c, s_imgs = self._cast_backbone_inputs(vars_b, episode["s_img"])
-            f_s, _ = self.backbone.apply(
-                vars_c, s_imgs, rngs={"dropout": rng},
-                method=_extract_support_dropout, mutable=False,
-            )
-            f_q, _ = self.backbone.apply(
-                vars_c, self._cast_backbone_inputs(vars_b, episode["q_img"][None])[1],
-                train=False, method=self.backbone.extract_features, mutable=False,
-            )
-            return f_s.astype(jnp.float32), f_q.astype(jnp.float32)
         imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
         vars_c, imgs = self._cast_backbone_inputs(vars_b, imgs)
         feat, _ = self.backbone.apply(
@@ -107,7 +101,15 @@ class EpisodicEngine:
             method=self.backbone.extract_features, mutable=False,
         )
         feat = feat.astype(jnp.float32)
-        return feat[:-1], feat[-1:]
+        f_s, f_q = feat[:-1], feat[-1:]
+        if support_dropout and rng is not None:
+            rate = float(self.cfg.dropout)
+            if rate > 0.0:
+                keep = jax.random.bernoulli(
+                    rng, 1.0 - rate, (f_s.shape[0], 1, 1, f_s.shape[-1])
+                )
+                f_s = jnp.where(keep, f_s / (1.0 - rate), 0.0)
+        return f_s, f_q
 
     def eval_episode(self, vars_b, vars_t, episode, rng) -> Dict[str, jnp.ndarray]:
         """Inner loop + CWT update + query logits (no grad), one episode."""
@@ -275,16 +277,3 @@ def _adapt(f_s, s_label, w0, num_steps, lr):
     return adapt_classifier(f_s, s_label, w0, num_steps=num_steps, lr=lr)
 
 
-def _extract_support_dropout(mdl, imgs):
-    """Backbone features with bottleneck dropout active but BN in eval mode.
-
-    Mirrors the reference's model.train() support-feature extraction during
-    stage-2 meta-training (frozen backbone: dropout on, stats frozen).
-    """
-    x4, feats = mdl.trunk(imgs, train=False)
-    out = mdl.ppm(x4, train=False)
-    out = mdl.bottleneck_conv(out)
-    out = mdl.bottleneck_bn(out, use_running_average=True)
-    out = jax.nn.relu(out)
-    out = mdl.drop(out, deterministic=False)
-    return out, feats
