@@ -203,7 +203,10 @@ def main() -> None:
     eps_per_sec_chip = eps_per_sec / n_chips
 
     peak = _device_peak(devices[0])
-    flops_per_episode = flops_total / e_total if flops_total else 0.0
+    # cost_analysis() reports PER-DEVICE flops of the SPMD-partitioned module,
+    # i.e. the flops for e_total/n_chips episodes — divide by the per-chip
+    # episode count, not the global one
+    flops_per_episode = flops_total / e_batch if flops_total else 0.0
     mfu = (flops_per_episode * eps_per_sec_chip / peak) if (peak and flops_total) else 0.0
 
     result = {

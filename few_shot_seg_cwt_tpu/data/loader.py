@@ -48,7 +48,7 @@ class EpisodeLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 2, seed: int = 2021,
                  device_put: bool = False, prefetch: int = 2,
-                 drop_last: bool = True):
+                 drop_last: bool = True, rank: int = 0, world: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -58,9 +58,16 @@ class EpisodeLoader:
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
         self.epoch = 0
+        # DistributedSampler analog (reference src/dataset/dataset.py:57-68):
+        # process `rank` of `world` covers indices rank, rank+world, ... so
+        # the union over processes is disjoint and covers the dataset.
+        assert 0 <= rank < world, (rank, world)
+        self.rank = rank
+        self.world = world
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        n = (n - self.rank + self.world - 1) // self.world
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int) -> None:
@@ -70,10 +77,10 @@ class EpisodeLoader:
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
-            order = rng.permutation(n)
-            yield from order.tolist()
+            order = rng.permutation(n).tolist()
         else:
-            yield from range(n)
+            order = range(n)
+        yield from itertools.islice(order, self.rank, None, self.world)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         idx_stream = self._index_stream()

@@ -168,13 +168,16 @@ class EpisodicEngine:
         metrics = {"inter": inter, "union": union, "inter0": inter0, "union0": union0}
         return loss, metrics
 
-    def eval_episode_metrics(self, vars_b, vars_t, episode, rng) -> Dict[str, jnp.ndarray]:
+    def eval_episode_metrics(self, vars_b, vars_t, episode, rng,
+                             with_pred: bool = False) -> Dict[str, jnp.ndarray]:
         """eval_episode + on-device metrics (matches src/test.py:214-230).
 
         Logits are upsampled to label resolution with align_corners bilinear
         before argmax; per-class (intersection, union) is returned for both
         the transformed (pred_q) and raw (pred_q0) classifiers, along with the
-        unweighted CE loss of the transformed prediction.
+        unweighted CE loss of the transformed prediction. ``with_pred`` adds
+        the feature-resolution argmax map (one program yields metrics AND
+        predictions — the dtype A/B harness needs both).
         """
         out = self.eval_episode(vars_b, vars_t, episode, rng)
         q_label = episode["q_label"]
@@ -190,11 +193,14 @@ class EpisodicEngine:
         ones = jnp.ones((self.num_classes,), jnp.float32)
         loss = weighted_cross_entropy(logits, q_label, ones)
         loss0 = weighted_cross_entropy(logits0, q_label, ones)
-        return {
+        result = {
             "inter": inter, "union": union,
             "inter0": inter0, "union0": union0,
             "loss": loss, "loss0": loss0, "cls": episode["cls"],
         }
+        if with_pred:
+            result["pred_lab"] = jnp.argmax(out["pred_q"], -1).astype(jnp.int32)
+        return result
 
     def eval_episode_metrics_no_cwt(self, vars_b, episode, rng) -> Dict[str, jnp.ndarray]:
         """Inner loop + raw-classifier metrics only — no transformer.
@@ -235,6 +241,15 @@ class EpisodicEngine:
     def eval_metrics_batch(self):
         """jit(vmap(eval_episode_metrics)): only tiny metric arrays leave device."""
         fn = jax.vmap(self.eval_episode_metrics, in_axes=(None, None, 0, 0))
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def eval_metrics_batch_pred(self):
+        """eval_metrics_batch variant that also returns the argmax maps."""
+        fn = jax.vmap(
+            functools.partial(self.eval_episode_metrics, with_pred=True),
+            in_axes=(None, None, 0, 0),
+        )
         return jax.jit(fn)
 
     @functools.cached_property

@@ -89,25 +89,20 @@ def run_ab(cfg, n_episodes: int, e_batch: int,
         }
         rngs = jax.random.split(jax.random.fold_in(base_key, b), e_batch)
 
+        # one program per engine yields metrics AND the argmax maps
         m32 = jax.tree.map(np.asarray,
-                           engine32.eval_metrics_batch(vars_b, vars_t,
-                                                       episodes, rngs))
+                           engine32.eval_metrics_batch_pred(vars_b, vars_t,
+                                                            episodes, rngs))
         mbf = jax.tree.map(np.asarray,
-                           engine_bf.eval_metrics_batch(vars_b, vars_t,
-                                                        episodes, rngs))
+                           engine_bf.eval_metrics_batch_pred(vars_b, vars_t,
+                                                             episodes, rngs))
         accumulate_fg_iou(*acc["fp32"], m32)
         accumulate_fg_iou(*acc["bf16"], mbf)
         accumulate_fg_iou(*acc["fp32_raw"], m32, suffix="0")
         accumulate_fg_iou(*acc["bf16_raw"], mbf, suffix="0")
 
-        p32 = np.asarray(
-            engine32.eval_batch(vars_b, vars_t, episodes, rngs)["pred_q"]
-        ).argmax(-1)
-        pbf = np.asarray(
-            engine_bf.eval_batch(vars_b, vars_t, episodes, rngs)["pred_q"]
-        ).argmax(-1)
-        flips += int((p32 != pbf).sum())
-        pixels += p32.size
+        flips += int((m32["pred_lab"] != mbf["pred_lab"]).sum())
+        pixels += m32["pred_lab"].size
         log(f"A/B batch {b + 1}/{n_batches}: "
             f"mIoU fp32 {fg_miou(*acc['fp32']):.4f} "
             f"bf16 {fg_miou(*acc['bf16']):.4f}")

@@ -96,6 +96,11 @@ def validate_transformer(
                 base_key, (run * 1_000_003 + b) * 65_537 + jax.process_index()
             )
             rngs = jax.random.split(rngs, e_local)
+            if mesh is not None:
+                # assemble the per-process rng slices into the same global
+                # (e_batch, ...) layout as the episodes — the vmapped program
+                # maps one axis size across all its batched inputs
+                rngs = shard_batch(np.asarray(rngs), mesh)
             t0 = time.time()
             out = engine.eval_metrics_batch(vars_b, vars_t, episodes, rngs)
             out = to_host(out)  # forces completion; allgathers on >1 process
@@ -171,6 +176,8 @@ def episodic_validate(
                 ),
                 e_local,
             )
+            if mesh is not None:
+                rngs = shard_batch(np.asarray(rngs), mesh)
             out = to_host(engine.eval_metrics_batch_no_cwt(vars_b, episodes, rngs))
             accumulate_fg_iou(cls_inter, cls_union, out, suffix="0")
             # score the raw adapted classifier: its own CE, not the dummy CWT's

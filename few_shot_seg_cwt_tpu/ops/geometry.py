@@ -100,11 +100,9 @@ def transfer_kps(confidence: jnp.ndarray, src_kps: jnp.ndarray,
     conf = apply_gaussian_kernel(confidence, spatial_side)
     pdf = jax.nn.softmax(conf, axis=2)                     # (B, P, s²)
 
-    g = np.linspace(-1.0, 1.0, spatial_side, dtype=np.float32)
-    grid_x = jnp.asarray(np.tile(g[None, :], (spatial_side, 1)).reshape(-1))
-    grid_y = jnp.asarray(np.tile(g[:, None], (1, spatial_side)).reshape(-1))
-    prd_x = jnp.sum(pdf * grid_x[None, None, :], axis=2)   # (B, P)
-    prd_y = jnp.sum(pdf * grid_y[None, None, :], axis=2)
+    grid = _norm_grid(spatial_side).reshape(-1, 2)         # one grid convention
+    prd_x = jnp.sum(pdf * grid[None, None, :, 0], axis=2)  # (B, P)
+    prd_y = jnp.sum(pdf * grid[None, None, :, 1], axis=2)
 
     max_pts = src_kps.shape[-1]
 

@@ -116,20 +116,15 @@ def adapt_binary_pallas(
         out_shape=jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            # 1-shot: just enough headroom for double-buffered inputs +
-            # transients — over-asking pushes Mosaic into worse allocation
-            # decisions (a blanket 127 MiB limit cost 11 eps/s at 1-shot).
-            # multi-shot: Mosaic's real stack need exceeds what this formula
-            # can model (measured 122.2 MB at 5-shot vs ~99 MB estimated), so
-            # grant the full v5e scoped budget; _fits_vmem gates dispatch.
-            vmem_limit_bytes=(
-                min(
-                    127 * 1024 * 1024,
-                    2 * 4 * (shot * h * w * c + shot * big_h * big_w)
-                    + 16 * 1024 * 1024,
-                )
-                if shot == 1
-                else 127 * 1024 * 1024
+            # Grant exactly the modeled need (same model as the _fits_vmem
+            # dispatch gate, so a dispatched shape always has enough scoped
+            # VMEM). Over-asking pushes Mosaic into worse allocation
+            # decisions — a blanket 127 MiB limit cost 11 eps/s at 1-shot —
+            # and under-asking fails at compile (a 5-shot OOM was traced to
+            # a formula that ignored the per-shot unrolled transients).
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                _vmem_need(shot, h, w, c, big_h, big_w),
             ),
         ),
         cost_estimate=pl.CostEstimate(
@@ -148,23 +143,35 @@ def adapt_binary_pallas(
     return acc.reshape(c)
 
 
-def _fits_vmem(shot: int, h: int, w: int, c: int, big_h: int, big_w: int) -> bool:
-    """VMEM-need model, calibrated against Mosaic's measured stack usage.
+def _vmem_need(shot: int, h: int, w: int, c: int, big_h: int, big_w: int) -> int:
+    """VMEM-need model (bytes), calibrated against Mosaic's measured usage.
 
     Double-buffered inputs across the vmap grid, plus ~8 live (H, W) pixel
     maps per statically-unrolled shot (d473/g/sigmoid transients — the term
     that closes the gap between the naive input model (~88 MB at 5-shot) and
-    Mosaic's measured 122.2 MB). Must stay under the 127 MiB scoped budget
-    the kernel is granted for multi-shot; beyond that (e.g. 6-shot @473) the
-    dispatcher falls back to the XLA scan instead of OOMing at compile time.
+    Mosaic's measured 122.2 MB), plus fixed scratch.
     """
-    bytes_needed = 4 * 2 * (
-        shot * h * w * c               # f_s
-        + shot * big_h * big_w         # sign-packed pixel weights
-        + (big_h + big_w) * h          # A, B
-    ) + 4 * (3 * big_h * big_w + h * w * 128) \
-      + shot * 8 * big_h * big_w * 4   # per-shot unrolled transients
-    return bytes_needed < 127 * 1024 * 1024
+    return (
+        4 * 2 * (
+            shot * h * w * c               # f_s
+            + shot * big_h * big_w         # sign-packed pixel weights
+            + (big_h + big_w) * h          # A, B
+        )
+        + 4 * (3 * big_h * big_w + h * w * 128)   # fixed scratch
+        + shot * 8 * big_h * big_w * 4            # per-shot unrolled transients
+        + 4 * 1024 * 1024                         # safety margin (model is
+                                                  # within ~1% of measured)
+    )
+
+
+def _fits_vmem(shot: int, h: int, w: int, c: int, big_h: int, big_w: int) -> bool:
+    """Dispatch gate: the modeled need fits the 127 MiB scoped budget.
+
+    Beyond it (e.g. 6-shot @473) the dispatcher falls back to the XLA scan
+    instead of OOMing at Mosaic compile time. The SAME model sizes the
+    kernel's vmem_limit_bytes grant, so gate and grant cannot disagree.
+    """
+    return _vmem_need(shot, h, w, c, big_h, big_w) < 127 * 1024 * 1024
 
 
 def pallas_inner_loop_available(f_s_shape: Tuple[int, ...],

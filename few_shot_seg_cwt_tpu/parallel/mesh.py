@@ -10,11 +10,13 @@ groups, no SyncBN (stage-2 BN is frozen), and no per-rank seed bookkeeping
 (episode rngs are split from one key and sharded with the batch).
 
 Multi-host: ``distributed_init(cfg)`` (cfg-gated ``jax.distributed.initialize``)
-before ``make_mesh`` and the same code spans slices (data axis across DCN is
-still pure data-parallel). Host I/O (logging, checkpoints) is gated on
-``is_main_process()`` — the TPU-native analog of the reference's rank-0 gating
-(reference: src/train_ddp.py:40-44) — and globally-sharded outputs come back
-to every host via ``to_host`` (process allgather when >1 process).
+runs FIRST in every trainer main — before any jax call — and the same code
+spans slices (data axis across DCN is still pure data-parallel). Logging is
+gated on process 0 at call time (utils.logging.get_logger) — the TPU-native
+analog of the reference's rank-0 gating (reference: src/train_ddp.py:40-44);
+checkpoint saves are collective (every process calls ``save_ckpt``; orbax
+writes from the primary host); globally-sharded outputs come back to every
+host via ``to_host`` (process allgather when >1 process).
 """
 
 from __future__ import annotations

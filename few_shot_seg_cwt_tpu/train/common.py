@@ -68,30 +68,48 @@ def episodic_dataset(cfg, train: bool):
     return EpisodicDataset(cfg, train=train)
 
 
-def episodic_loaders(cfg) -> Tuple[EpisodeLoader, EpisodeLoader]:
-    """Train/val episode loaders; host-local batches on multi-host.
-
-    With P processes each host builds episode_batch/P episodes per step and a
-    per-process seed offset decorrelates the sampling streams — the
-    DistributedSampler + per-rank-seed analog (reference:
-    src/dataset/dataset.py:57-68, src/train_ddp.py:59-66). shard_batch then
-    assembles the global batch from the process-local slices.
-    """
-    train_ds = episodic_dataset(cfg, train=True)
-    val_ds = episodic_dataset(cfg, train=False)
-    e = int(cfg.episode_batch)
+def _local_batch(e: int) -> int:
+    """Per-process share of a global batch size (must divide evenly)."""
     nproc = jax.process_count()
     if nproc > 1:
         assert e % nproc == 0, (
-            f"episode_batch {e} must divide over {nproc} processes"
+            f"global batch {e} must divide over {nproc} processes"
         )
         e //= nproc
+    return e
+
+
+def episodic_val_loader(cfg) -> EpisodeLoader:
+    """Validation episode loader; multi-host-correct.
+
+    Each process loads episode_batch/P episodes per step via a deterministic
+    rank-strided index slice, so the global batch ``shard_batch`` assembles
+    holds P DISTINCT episode slices (the DistributedSampler analog,
+    reference src/dataset/dataset.py:57-68) — not P copies of slice 0.
+    """
+    return EpisodeLoader(
+        episodic_dataset(cfg, train=False),
+        batch_size=_local_batch(int(cfg.episode_batch)),
+        shuffle=False, num_workers=cfg.workers,
+        rank=jax.process_index(), world=jax.process_count(),
+    )
+
+
+def episodic_loaders(cfg) -> Tuple[EpisodeLoader, EpisodeLoader]:
+    """Train/val episode loaders; host-local batches on multi-host.
+
+    With P processes each host builds episode_batch/P episodes per step; the
+    train side decorrelates sampling with a per-process seed offset
+    (reference per-rank seeds, src/train_ddp.py:59-66), the val side uses
+    rank-strided deterministic coverage (see ``episodic_val_loader``).
+    shard_batch then assembles the global batch from the per-process slices.
+    """
+    train_ds = episodic_dataset(cfg, train=True)
+    e = _local_batch(int(cfg.episode_batch))
     seed = (cfg.manual_seed or 0) + jax.process_index()
     train_loader = EpisodeLoader(train_ds, batch_size=e, shuffle=True,
                                  num_workers=cfg.workers, seed=seed)
-    val_loader = EpisodeLoader(val_ds, batch_size=e, shuffle=False,
-                               num_workers=cfg.workers)
-    return train_loader, val_loader
+    return train_loader, episodic_val_loader(cfg)
 
 
 def init_backbone(cfg, engine, rng: Optional[jax.Array] = None,

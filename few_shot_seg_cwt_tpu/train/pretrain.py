@@ -143,6 +143,9 @@ def standard_validate(cfg, eval_batch, params, batch_stats, loader, log=print
 
 
 def main(cfg) -> float:
+    from ..parallel.mesh import distributed_init
+
+    distributed_init(cfg)  # MUST precede any jax call on multi-host runs
     print(cfg)
     set_seeds(cfg)
     apply_debug(cfg)
@@ -214,10 +217,9 @@ def main(cfg) -> float:
         ep_cfg = cfg.clone()
         ep_cfg.num_classes_tr = 2
         ep_engine = EpisodicEngine(ep_cfg)
-        ep_loader = EpisodeLoader(
-            episodic_dataset(cfg, train=False), batch_size=cfg.episode_batch,
-            shuffle=False, num_workers=cfg.workers,
-        )
+        from .common import episodic_val_loader
+
+        ep_loader = episodic_val_loader(cfg)
     else:
         std_eval = make_standard_eval(cfg, model)
 

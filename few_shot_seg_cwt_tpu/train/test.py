@@ -25,14 +25,13 @@ from ..eval.validate import validate_transformer
 from ..utils.ckpt import import_cwt, load_ckpt, load_torch_checkpoint, import_pspnet
 from .common import (
     apply_debug,
-    episodic_dataset,
+    episodic_val_loader,
     init_backbone,
     init_cwt,
     maybe_mesh,
     set_seeds,
     trans_ckpt_dir,
 )
-from ..data.loader import EpisodeLoader
 
 
 def load_transformer(cfg, engine, vars_t_init):
@@ -52,6 +51,9 @@ def load_transformer(cfg, engine, vars_t_init):
 
 
 def main(cfg) -> float:
+    from ..parallel.mesh import distributed_init
+
+    distributed_init(cfg)  # MUST precede any jax call on multi-host runs
     set_seeds(cfg)
     apply_debug(cfg)
 
@@ -76,9 +78,7 @@ def main(cfg) -> float:
 
     vars_t = load_transformer(cfg, engine, init_cwt(cfg, engine))
 
-    val_ds = episodic_dataset(cfg, train=False)
-    val_loader = EpisodeLoader(val_ds, batch_size=cfg.episode_batch,
-                               shuffle=False, num_workers=cfg.workers)
+    val_loader = episodic_val_loader(cfg)
     miou, loss = validate_transformer(cfg, engine, vars_b, vars_t, val_loader, mesh=mesh)
     return miou
 

@@ -30,6 +30,9 @@ from .train_head import EP_KEYS, init_head_trainables
 
 
 def main(cfg, adaptive: bool = False) -> float:
+    from ..parallel.mesh import distributed_init
+
+    distributed_init(cfg)  # MUST precede any jax call on multi-host runs
     print(cfg)
     set_seeds(cfg)
     apply_debug(cfg)

@@ -44,8 +44,10 @@ from .optim import build_optimizer
 
 
 def main(cfg) -> float:
+    from ..parallel.mesh import distributed_init
     from ..utils.logging import get_logger, log_to
 
+    distributed_init(cfg)  # MUST precede any jax call on multi-host runs
     print = get_logger()  # noqa: A001 — tees to <save_dir>/log.txt once set below
     print(cfg)
     set_seeds(cfg)

@@ -140,8 +140,10 @@ def validate_head(cfg, engine: HeadEngine, trainables, vars_b, loader,
 
 
 def main(cfg, head_type: Optional[str] = None) -> float:
+    from ..parallel.mesh import distributed_init
     from ..utils.logging import get_logger, log_to
 
+    distributed_init(cfg)  # MUST precede any jax call on multi-host runs
     print = get_logger()  # noqa: A001 — tees to <sv_path>/log.txt once set below
     print(cfg)
     set_seeds(cfg)

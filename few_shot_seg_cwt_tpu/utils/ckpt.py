@@ -275,15 +275,14 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 def save_ckpt(path: str, tree: Any) -> None:
     """Orbax save; multi-host-safe.
 
-    The trainers pass host-local numpy trees (params are replicated), so on
-    >1 process only process 0 writes — the reference's rank-0 checkpoint
-    gating (src/train_ddp.py:40-44,226-244).
+    EVERY process must call this: orbax's save is a collective (it barriers
+    all hosts at save_start/commit), and orbax itself writes from the
+    primary host only — that is the reference's rank-0 checkpoint gating
+    (src/train_ddp.py:40-44,226-244). Gating the call on process 0 would
+    deadlock process 0 at the barrier.
     """
-    import jax
     import orbax.checkpoint as ocp
 
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        return
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, tree, force=True)

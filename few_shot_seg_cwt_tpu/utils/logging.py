@@ -21,14 +21,17 @@ def get_logger():
 
     Multi-host: only process 0 prints/writes (the reference's rank-0
     ``main_process()`` gating, src/train_ddp.py:40-44); other processes get a
-    no-op so trainers stay process-count-agnostic.
+    no-op so trainers stay process-count-agnostic. The process check is
+    deferred to call time: ``jax.process_index()`` initializes the XLA
+    backend, which must not happen before the trainer's
+    ``distributed_init``/``maybe_mesh`` call on multi-host runs.
     """
-    import jax
-
-    if jax.process_index() != 0:
-        return lambda obj, filename="log.txt": None
 
     def log(obj, filename: str = "log.txt"):
+        import jax
+
+        if jax.process_index() != 0:
+            return
         print(obj, flush=True)
         if _log_path is not None:
             with open(os.path.join(_log_path, filename), "a") as f:

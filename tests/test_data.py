@@ -236,3 +236,35 @@ def test_pil_enhancers_and_channel_flip(rng):
     flipped, _ = T.RGB2BGR()(img.copy(), lab)
     np.testing.assert_allclose(flipped[..., 0], img[..., 2])
     np.testing.assert_allclose(flipped[..., 2], img[..., 0])
+
+
+def test_loader_rank_world_striding():
+    """rank/world gives disjoint strided coverage (DistributedSampler analog)."""
+    from few_shot_seg_cwt_tpu.data.loader import EpisodeLoader
+
+    class _Idx:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            import numpy as np
+
+            return {"i": np.asarray(i)}
+
+    seen = []
+    for rank in range(2):
+        loader = EpisodeLoader(_Idx(), batch_size=2, shuffle=False,
+                               num_workers=0, rank=rank, world=2)
+        assert len(loader) == 2  # ceil(5/2) with drop_last -> 2 batches
+        idx = [int(v) for b in loader for v in b["i"]]
+        assert idx == list(range(rank, rank + 2 * 2 * 2, 2))[: len(idx)]
+        seen += idx
+    assert len(set(seen)) == len(seen)  # disjoint across ranks
+
+    # shuffle mode: identical seed => identical permutation => disjoint strides
+    perms = []
+    for rank in range(2):
+        loader = EpisodeLoader(_Idx(), batch_size=2, shuffle=True,
+                               num_workers=0, seed=3, rank=rank, world=2)
+        perms.append([int(v) for b in loader for v in b["i"]])
+    assert not (set(perms[0]) & set(perms[1]))

@@ -86,6 +86,32 @@ def test_sharded_train_step_matches_unsharded(setup):
     assert max(jax.tree.leaves(diffs)) < 1e-5
 
 
+def test_validate_transformer_with_mesh(setup):
+    """Full validate loop under a mesh: episodes AND rngs assembled globally.
+
+    Regression: the vmapped metrics program maps one axis size across all
+    batched inputs — host-local rng arrays must go through shard_batch like
+    the episodes (multi-host would crash with inconsistent vmap sizes).
+    """
+    cfg, engine, vars_b, vars_t = setup
+    from few_shot_seg_cwt_tpu.data.loader import EpisodeLoader
+    from few_shot_seg_cwt_tpu.data.synthetic import SyntheticEpisodicDataset
+    from few_shot_seg_cwt_tpu.eval.validate import validate_transformer
+
+    vcfg = cfg.clone()
+    vcfg.test_num = 8
+    vcfg.n_runs = 1
+    loader = EpisodeLoader(
+        SyntheticEpisodicDataset(vcfg, length=16, seed=5),
+        batch_size=8, shuffle=False, num_workers=0,
+    )
+    mesh = make_mesh([8], ("data",))
+    miou, loss = validate_transformer(
+        vcfg, engine, vars_b, vars_t, loader, mesh=mesh, log=lambda *a: None
+    )
+    assert 0.0 <= miou <= 1.0 and np.isfinite(loss)
+
+
 @pytest.mark.slow  # the driver runs dryrun_multichip directly every round
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
