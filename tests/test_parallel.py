@@ -127,3 +127,41 @@ def test_graft_entry_forward_compiles():
     small = jnp.zeros((1, 65, 65, 3), jnp.float32)
     out = jax.jit(fn)(variables, small)
     assert out.shape == (1, 65, 65, 2)
+
+
+@pytest.mark.slow
+def test_two_process_multihost(tmp_path):
+    """REAL 2-process jax.distributed run over localhost: train step +
+    sharded validation + collective checkpoint, per-process logs gated.
+
+    This is the closest a single machine gets to a multi-host TPU slice:
+    each subprocess owns 2 virtual CPU devices, the mesh spans all 4, and
+    episode batches are assembled from host-local loader slices via
+    make_array_from_process_local_data.
+    """
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    harness = os.path.join(os.path.dirname(__file__), "multiproc_harness.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, harness, str(pid), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"MULTIPROC_OK pid={pid}" in out
+    # process-0 logging gate: only proc 0 prints the validate lines
+    assert "mIoU---Val result" in outs[0]
+    assert "mIoU---Val result" not in outs[1]
