@@ -162,14 +162,15 @@ def main() -> None:
                             episode_batches[0], step_rngs[-1])
         np.asarray(m["loss"])
 
-        t0 = time.time()
+        batch_times = []
         for i in range(n_batches):
+            t0 = time.time()
             trans_params, opt_state, metrics = compiled(
                 trans_params, opt_state, vars_t_extra, vars_b,
                 episode_batches[i % len(episode_batches)], step_rngs[i],
             )
             np.asarray(metrics["loss"])  # force completion of each step
-        elapsed = time.time() - t0
+            batch_times.append(time.time() - t0)
         metric_name = (f"train-step episodes/sec/chip ({shot}-shot @{size}px, "
                        f"adapt_iter={cfg.adapt_iter}, {dtype})")
     else:
@@ -189,17 +190,22 @@ def main() -> None:
         out = compiled(vars_b, vars_t, episode_batches[0], rng_arrays[-1])
         np.asarray(out["pred_q"])
 
-        t0 = time.time()
+        batch_times = []
         for i in range(n_batches):
+            t0 = time.time()
             out = compiled(
                 vars_b, vars_t, episode_batches[i % len(episode_batches)], rng_arrays[i]
             )
             np.asarray(out["pred_q"][0, 0, 0])  # force completion of each step
-        elapsed = time.time() - t0
+            batch_times.append(time.time() - t0)
         metric_name = (f"episodes/sec/chip ({shot}-shot eval @{size}px, "
                        f"adapt_iter={cfg.adapt_iter}, {dtype})")
 
-    eps_per_sec = n_batches * e_total / elapsed
+    # median batch time: robust to the transport's transient multi-second
+    # stalls (observed ~±10%+ run-to-run noise, occasionally 30% on short
+    # runs), which otherwise poison a mean over total elapsed time
+    t_batch = float(np.median(batch_times))
+    eps_per_sec = e_total / t_batch
     eps_per_sec_chip = eps_per_sec / n_chips
 
     peak = _device_peak(devices[0])
