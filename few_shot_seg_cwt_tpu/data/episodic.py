@@ -121,7 +121,18 @@ class EpisodicDataset:
         for _ in range(shot):
             idx = random.randint(1, num_file) - 1
             sup = (image_path, label_path)
+            attempts = 0
             while (sup == (image_path, label_path)) or idx in chosen_idx:
+                # the reference's rejection loop (dataset.py:254-258) spins
+                # FOREVER when the class has < shot+1 distinct images; fail
+                # loudly instead of hanging the loader thread
+                attempts += 1
+                if attempts > 20 * num_file + 20:
+                    raise RuntimeError(
+                        f"class {class_chosen}: cannot draw {shot} distinct "
+                        f"support images (only {num_file} candidates, query "
+                        f"excluded) — reduce shot or check the list files"
+                    )
                 idx = random.randint(1, num_file) - 1
                 sup = files[idx]
             chosen_idx.append(idx)
@@ -178,19 +189,37 @@ class EpisodicDataset:
     # ------------------------------------------------------------------ #
 
     def _support_with_aug(self, s_img, s_lab):
+        """Exactly ``meta_aug`` views per shot: [org, aug_1, ..].
+
+        The reference concatenates a VARIABLE number of views per shot
+        (aug_type 1/3 can emit 2 extras, aug_type 10 sometimes none,
+        dataset.py:310-314) and then slices with ``tensor_slice``, which
+        reshapes to (n//2, 2) and silently misaligns whenever a shot did not
+        yield exactly [org, aug] (util.py:20-29) — only the shipped
+        aug_type 0 config is coherent. Here every shot contributes exactly
+        ``meta_aug`` rows: extras beyond meta_aug-1 are dropped, and a
+        missing aug view is an org duplicate (no augmentation available ->
+        use the original), so the heads' strict [org_i, aug_i, ...]
+        interleave and the static batch shape both always hold.
+        """
         img_t, lab_t = self.transform(s_img, s_lab)
         freq = np.bincount(s_lab.flatten(), minlength=2)
         fg_ratio = freq[1] / max(freq.sum(), 1)
         fn = {0: self._aug0, 1: self._aug1, 2: self._aug2,
               3: self._aug3, 10: self._aug10}[self.aug_type]
         extra = fn(fg_ratio, s_img, s_lab)
-        if extra is None:
-            return img_t[None], lab_t[None]
-        e_imgs, e_labs = extra
-        return (
-            np.concatenate([img_t[None]] + e_imgs, axis=0),
-            np.concatenate([lab_t[None]] + e_labs, axis=0),
-        )
+        views_i = [img_t[None]]
+        views_l = [lab_t[None]]
+        if extra is not None:
+            e_imgs, e_labs = extra
+            views_i += list(e_imgs)
+            views_l += list(e_labs)
+        views_i = views_i[: self.meta_aug]
+        views_l = views_l[: self.meta_aug]
+        while len(views_i) < self.meta_aug:
+            views_i.append(views_i[0].copy())
+            views_l.append(views_l[0].copy())
+        return np.concatenate(views_i, axis=0), np.concatenate(views_l, axis=0)
 
     def _tail(self, n: int) -> List:
         """Finishing stages for augmented views: n=2 -> resize+normalize,

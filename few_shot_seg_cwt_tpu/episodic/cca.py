@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.pspnet import apply_classifier, init_classifier_weights
+from ..models.pspnet import (apply_classifier, effective_classifier_weight,
+                             init_classifier_weights)
 from ..ops.episode_utils import compress_pred, reset_spt_label
 from ..ops.losses import class_balance_weights, cross_entropy, seg_loss
 from ..ops.metrics import intersection_and_union
@@ -59,7 +60,7 @@ class CCAEngine(HeadEngine):
         subcls = episode["cls"]
 
         # K-way classifier: base rows from the pretrained head, novel row fresh
-        pre_w = jnp.asarray(vars_b["params"]["classifier"]["weight"]).T  # (K, C)
+        pre_w = effective_classifier_weight(vars_b["params"])  # (K, C)
         k = pre_w.shape[0]
         rng_row, rng_rest = jax.random.split(rng)
         new_row = init_classifier_weights(rng_row, 1, cfg.bottleneck_dim)[0]
@@ -123,6 +124,12 @@ class CCAEngine(HeadEngine):
         parts = self.episode_parts(vars_b, episode, rng_w)
         fg_idx = parts["fg_idx"]
         q_label = episode["q_label"]
+        # NOTE reference-exact wart: for CE loss types, seg_loss applies
+        # log_softmax to these compress_pred PROBABILITIES — exactly what the
+        # torch reference does (weighted_ce_loss runs nn.CrossEntropyLoss on
+        # the 'pb' input too, model_util.py:27-37 via train_cca.py:182-188;
+        # only the dice branch honors input_type). The shipped CCA configs
+        # use loss_type wt_dc, where 'pb' is handled correctly.
         crit = lambda probs: seg_loss(
             probs, q_label, loss_type=cfg.get("loss_type", "wt_ce"), input_type="pb"
         )
@@ -181,7 +188,7 @@ def make_base_preds_fn(cfg, engine: CCAEngine):
             vars_b, s_img, train=False,
             method=engine.backbone.extract_features, mutable=False,
         )
-        pre_w = jnp.asarray(vars_b["params"]["classifier"]["weight"]).T
+        pre_w = effective_classifier_weight(vars_b["params"])
         logits = apply_classifier(pre_w, feat)
         return upsample_bilinear_ac(logits, (cfg.image_size, cfg.image_size))
 
@@ -201,7 +208,7 @@ def adaptive_relabel_batch(cfg, engine: CCAEngine, vars_b, batch,
     e = batch["s_img"].shape[0]
     k = cfg.num_classes_tr
     c = cfg.bottleneck_dim
-    pre_w = np.asarray(vars_b["params"]["classifier"]["weight"]).T
+    pre_w = np.asarray(effective_classifier_weight(vars_b["params"]))
     bound = 1.0 / np.sqrt(c)
 
     labels, w0s, masks = [], [], []

@@ -116,12 +116,27 @@ class EpisodicEngine:
         w0 = init_classifier_weights(rng, self.num_classes, self.bottleneck_dim)
         return self.eval_episode_from_w0(vars_b, vars_t, episode, w0)
 
-    def eval_episode_from_w0(self, vars_b, vars_t, episode, w0) -> Dict[str, jnp.ndarray]:
-        """Same as eval_episode but with injected initial classifier weights."""
+    def _adapted_episode(self, vars_b, episode, w0):
+        """Shared eval prologue: features + inner-loop-adapted classifier."""
         f_s, f_q = self._episode_features(vars_b, episode)
         w = jax.lax.stop_gradient(
             _adapt(f_s, episode["s_label"], w0, self.adapt_iter, self.cls_lr)
         )
+        return f_q, w
+
+    def _upsampled_metrics(self, pred, q_label):
+        """align-corners upsample -> argmax I/U + unweighted CE (src:214-230)."""
+        size = q_label.shape[-2:]
+        logits = upsample_bilinear_ac(pred[None].astype(jnp.float32), size)[0]
+        inter, union, _ = intersection_and_union(
+            jnp.argmax(logits, -1), q_label, self.num_classes
+        )
+        ones = jnp.ones((self.num_classes,), jnp.float32)
+        return inter, union, weighted_cross_entropy(logits, q_label, ones)
+
+    def eval_episode_from_w0(self, vars_b, vars_t, episode, w0) -> Dict[str, jnp.ndarray]:
+        """Same as eval_episode but with injected initial classifier weights."""
+        f_q, w = self._adapted_episode(vars_b, episode, w0)
         pred_q0 = apply_classifier(w, f_q)[0]          # (h, w, K) raw-classifier logits
         f_qn = l2_normalize_channels(f_q)
         w_upd = self.cwt.apply(vars_t, w[None], f_qn, f_qn, deterministic=True)[0]
@@ -181,18 +196,8 @@ class EpisodicEngine:
         """
         out = self.eval_episode(vars_b, vars_t, episode, rng)
         q_label = episode["q_label"]
-        size = q_label.shape[-2:]
-        logits = upsample_bilinear_ac(out["pred_q"][None].astype(jnp.float32), size)[0]
-        logits0 = upsample_bilinear_ac(out["pred_q0"][None].astype(jnp.float32), size)[0]
-        inter, union, _ = intersection_and_union(
-            jnp.argmax(logits, -1), q_label, self.num_classes
-        )
-        inter0, union0, _ = intersection_and_union(
-            jnp.argmax(logits0, -1), q_label, self.num_classes
-        )
-        ones = jnp.ones((self.num_classes,), jnp.float32)
-        loss = weighted_cross_entropy(logits, q_label, ones)
-        loss0 = weighted_cross_entropy(logits0, q_label, ones)
+        inter, union, loss = self._upsampled_metrics(out["pred_q"], q_label)
+        inter0, union0, loss0 = self._upsampled_metrics(out["pred_q0"], q_label)
         result = {
             "inter": inter, "union": union,
             "inter0": inter0, "union0": union0,
@@ -211,19 +216,9 @@ class EpisodicEngine:
         wasted compute from the hottest validation loop.
         """
         w0 = init_classifier_weights(rng, self.num_classes, self.bottleneck_dim)
-        f_s, f_q = self._episode_features(vars_b, episode)
-        w = jax.lax.stop_gradient(
-            _adapt(f_s, episode["s_label"], w0, self.adapt_iter, self.cls_lr)
-        )
+        f_q, w = self._adapted_episode(vars_b, episode, w0)
         pred_q0 = apply_classifier(w, f_q)[0]
-        q_label = episode["q_label"]
-        size = q_label.shape[-2:]
-        logits0 = upsample_bilinear_ac(pred_q0[None].astype(jnp.float32), size)[0]
-        inter0, union0, _ = intersection_and_union(
-            jnp.argmax(logits0, -1), q_label, self.num_classes
-        )
-        ones = jnp.ones((self.num_classes,), jnp.float32)
-        loss0 = weighted_cross_entropy(logits0, q_label, ones)
+        inter0, union0, loss0 = self._upsampled_metrics(pred_q0, episode["q_label"])
         return {"inter0": inter0, "union0": union0, "loss0": loss0,
                 "cls": episode["cls"]}
 

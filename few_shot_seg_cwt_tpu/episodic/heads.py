@@ -103,8 +103,14 @@ class HeadEngine:
         )
         pd_q0 = apply_classifier(w, f_q)          # (1, h, w, K)
         pd_s = apply_classifier(w, f_s)           # (shot, h, w, K)
+        # per-shot validity: random_shot pads whole shots with all-255 labels
+        # (data/episodic.py); real supports always have FG (>=2048 px filter).
+        # The inner loop zero-weights pads already; the k-shot heads must
+        # exclude them from attention/averaging too (the reference loops over
+        # the true shot count instead, src/train_kshot.py:159-180).
+        s_valid = jnp.any(episode["s_label"] != 255, axis=(-2, -1)).astype(jnp.float32)
         return dict(f_s=f_s, f_q=f_q, fs_feats=fs_feats, fq_feats=fq_feats,
-                    w=w, pd_q0=pd_q0, pd_s=pd_s)
+                    w=w, pd_q0=pd_q0, pd_s=pd_s, s_valid=s_valid)
 
     def _up(self, logits: jnp.ndarray) -> jnp.ndarray:
         return upsample_bilinear_ac(logits, (self.image_size, self.image_size))
@@ -152,23 +158,33 @@ class HeadEngine:
         out["f_s"] = f_s[sel]
         out["fs_feats"] = take_feats(sel)
         out["pd_s"] = parts["pd_s"][sel]
+        out["s_valid"] = parts["s_valid"][sel]
         return out
 
     def _loss_mmn(self, head_vars, parts, episode, rng, det=False):
         cfg = self.cfg
         parts = self._select_support_stream(parts, episode)
         crit = lambda lg: seg_loss(lg, episode["q_label"], loss_type=cfg.get("loss_type", "wt_ce"))
-        _, att_fq, att_shots = self.head.apply(
+        _, _, att_shots = self.head.apply(
             head_vars, parts["fq_feats"], parts["fs_feats"], parts["f_q"],
             parts["f_s"], ret_shots=True, deterministic=det,
             rngs=None if det else {"dropout": rng},
+        )
+        # average the per-shot readouts over VALID shots only (random_shot
+        # pads must not enter the mean; reference averages the true shots,
+        # src/train_kshot.py:170-174)
+        valid = parts["s_valid"]
+        att_fq = (
+            jnp.sum(att_shots * valid[:, None, None, None], axis=0, keepdims=True)
+            / jnp.maximum(jnp.sum(valid), 1.0)
         )
         fq_blend = parts["f_q"] * (1 - cfg.att_wt) + att_fq * cfg.att_wt
         pred1 = self._cls_up(parts["w"], att_fq)[0]
         pred = self._cls_up(parts["w"], fq_blend)[0]
         if cfg.get("loss_shot", "avg") == "sum":
             per_shot = self._cls_up(parts["w"], att_shots)
-            loss1 = sum(crit(per_shot[k]) for k in range(per_shot.shape[0]))
+            loss1 = sum(valid[k] * crit(per_shot[k])
+                        for k in range(per_shot.shape[0]))
         else:
             loss1 = crit(pred1)
         aux = cfg.get("aux", False)
@@ -239,12 +255,20 @@ class HeadEngine:
         sim = get_corr(fq_fea, fs_fea[:1])
         ig_mask = get_ig_mask(sim, episode["s_label"][:1], episode["q_label"][None],
                               parts["pd_q0"], parts["pd_s"][:1])
+        valid = parts["s_valid"][:, None, None, None]
+        # zero padded shots' k/v BEFORE the head: the ignore mask is a soft
+        # -1000 logit bias (reference transformer.py:122-127), which only
+        # hard-masks when logits stay << 1000 — true for real features, not
+        # guaranteed for arbitrary pad content
         q = fq_fea.reshape(1, h * w, dk)
-        k = fs_fea.reshape(1, shot * h * w, dk)
-        v = parts["f_s"].reshape(1, shot * h * w, -1)
+        k = (fs_fea * valid).reshape(1, shot * h * w, dk)
+        v = (parts["f_s"] * valid).reshape(1, shot * h * w, -1)
         idt = parts["f_q"].reshape(1, h * w, -1)
         if shot > 1:  # tile the single-support ignore mask across shots
             ig_mask = jnp.tile(ig_mask, (1, shot))
+            # and mask every pixel of padded shots out of the attention
+            pad_pix = jnp.repeat(parts["s_valid"] < 0.5, h * w)[None, :]
+            ig_mask = jnp.logical_or(ig_mask.astype(bool), pad_pix)
         upd, _ = self.head.apply(head_vars, k, v, q, idt, ig_mask,
                                  deterministic=det,
                                  rngs=None if det else {"dropout": rng})

@@ -108,6 +108,24 @@ class CosCls(nn.Module):
         return out * scale
 
 
+def effective_classifier_weight(params) -> jnp.ndarray:
+    """The classifier's EFFECTIVE (K, C) weight from a variables['params'] tree.
+
+    Under weight-norm reparameterization (cls_type 'r***') the stored
+    'weight' is the direction v; the weight the module applies is
+    g * v / ||v|| — the same value torch's WeightNorm recomputes for
+    ``model.classifier.weight``. Callers that inject or compare classifier
+    rows (the CCA trainers' base-class inheritance and pseudo-labeling)
+    must use this, never the raw 'weight' param.
+    """
+    cls = params["classifier"]
+    w = jnp.asarray(cls["weight"])                     # (C, K)
+    if "weight_g" in cls:
+        g = jnp.asarray(cls["weight_g"])               # (K,)
+        w = w * g / jnp.linalg.norm(w, axis=0, keepdims=True)
+    return w.T                                         # (K, C)
+
+
 class DotCls(nn.Module):
     """Plain 1x1-conv classifier, optionally weight-norm reparameterized."""
 

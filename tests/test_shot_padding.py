@@ -1,0 +1,151 @@
+"""Padded support shots must not leak into the k-shot heads or the sampler.
+
+random_shot pads episodes to max_shot with all-255-label rows
+(data/episodic.py); the inner loop zero-weights them, and the k-shot heads
+(MMN averaging, attention over support pixels) must exclude them too —
+the reference instead loops over the true shot count
+(reference: src/train_kshot.py:159-180).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from few_shot_seg_cwt_tpu.config import default_cfg
+from few_shot_seg_cwt_tpu.data.synthetic import make_episode
+from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+
+
+def _padded_episode(seed, pad_fill, size=33, shot=1, max_shot=3):
+    """Episode with `shot` real supports padded to max_shot; pad images
+    filled with `pad_fill` garbage (labels all 255)."""
+    rng = np.random.default_rng(seed)
+    ep = make_episode(rng, size=size, shot=shot)
+    pad_n = max_shot - shot
+    pad_img = np.full((pad_n, size, size, 3), pad_fill, np.float32) * rng.standard_normal(
+        (pad_n, size, size, 3)
+    ).astype(np.float32)
+    pad_lab = np.full((pad_n, size, size), 255, np.int32)
+    import jax.numpy as jnp
+
+    return {
+        "s_img": jnp.asarray(np.concatenate([ep["s_img"], pad_img], 0)),
+        "s_label": jnp.asarray(np.concatenate([ep["s_label"], pad_lab], 0)),
+        "q_img": jnp.asarray(ep["q_img"]),
+        "q_label": jnp.asarray(ep["q_label"]),
+        "cls": jnp.asarray(ep["cls"]),
+    }
+
+
+@pytest.mark.parametrize("head", ["mmn", "att"])
+def test_pad_shot_content_invariance(head):
+    """Changing the CONTENT of padded shots must not change loss or preds."""
+    cfg = default_cfg()
+    cfg.pretrained = False
+    cfg.image_size = 33
+    cfg.adapt_iter = 2
+    cfg.shot = 3
+    cfg.rmid = "l34"
+    cfg.temp = 20.0
+    cfg.att_wt = 0.5
+    cfg.loss_shot = "sum"
+
+    engine = HeadEngine(cfg, head)
+    import jax.numpy as jnp
+
+    probe = {
+        "s_img": jnp.zeros((3, 33, 33, 3)), "s_label": jnp.zeros((3, 33, 33), jnp.int32),
+        "q_img": jnp.zeros((33, 33, 3)), "q_label": jnp.zeros((33, 33), jnp.int32),
+        "cls": jnp.asarray(1),
+    }
+    rng = jax.random.PRNGKey(0)
+    vars_b = jax.jit(
+        lambda: engine.backbone.init(
+            {"params": rng},
+            jnp.zeros((1, 33, 33, 3)), train=False)
+    )()
+    parts = engine.episode_parts(vars_b, probe, rng)
+    if head == "mmn":
+        probe_args = (parts["fq_feats"], parts["fs_feats"],
+                      parts["f_q"], parts["f_s"])
+    else:
+        dk = parts["fq_feats"][4][-1].shape[-1]     # stage-4 channel width
+        probe_args = (jnp.zeros((1, 2, dk)), jnp.zeros((1, 2, 512)),
+                      jnp.zeros((1, 2, dk)), jnp.zeros((1, 2, 512)),
+                      jnp.zeros((1, 2), bool))
+    head_vars = engine.head.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        *probe_args,
+    )
+
+    fn = jax.jit(lambda e: engine.train_episode_loss(
+        head_vars["params"], vars_b, e, jax.random.PRNGKey(5)))
+
+    ep_a = _padded_episode(seed=7, pad_fill=0.0)
+    ep_b = _padded_episode(seed=7, pad_fill=37.5)   # garbage pads
+    loss_a, m_a = jax.tree.map(np.asarray, fn(ep_a))
+    loss_b, m_b = jax.tree.map(np.asarray, fn(ep_b))
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    np.testing.assert_allclose(m_a["inter1"], m_b["inter1"], rtol=1e-5)
+    np.testing.assert_allclose(m_a["inter"], m_b["inter"], rtol=1e-5)
+    assert np.isfinite(loss_a)
+
+
+def test_support_with_aug_always_meta_aug_views():
+    """Every aug_type yields exactly meta_aug rows per shot (static shapes)."""
+    from few_shot_seg_cwt_tpu.data.episodic import EpisodicDataset
+
+    class _Stub(EpisodicDataset):
+        def __init__(self, aug_type, meta_aug):  # bypass file scanning
+            from few_shot_seg_cwt_tpu.data import transforms as T
+
+            self.aug_type = aug_type
+            self.meta_aug = meta_aug
+            self.image_size = 65
+            self.padding = [0.0, 0.0, 0.0]
+            self.aug_th = (0.15, 0.30)
+            self.transform = T.Compose([
+                T.ResizeSquare((65, 65)),
+                T.ToNormalized([0.0] * 3, [1.0] * 3),
+            ])
+            self._resize_norm = list(self.transform.segtransform)
+            self._norm_only = list(self.transform.segtransform[-1:])
+
+    rng = np.random.default_rng(3)
+    for aug_type in (0, 1, 2, 3, 10):
+        for meta_aug in (2, 3):
+            ds = _Stub(aug_type, meta_aug)
+            for fg in (0.01, 0.2, 0.5):  # hit every fg_ratio branch
+                lab = (rng.random((80, 90)) < fg).astype(np.int32)
+                img = rng.standard_normal((80, 90, 3)).astype(np.float32)
+                vi, vl = ds._support_with_aug(img, lab)
+                assert vi.shape[0] == meta_aug, (aug_type, meta_aug, fg, vi.shape)
+                assert vl.shape[0] == meta_aug
+                assert vi.shape[1:] == (65, 65, 3)
+
+
+def test_sampler_raises_instead_of_hanging_on_small_class():
+    """Support rejection sampling fails loudly when shot > available images."""
+    from few_shot_seg_cwt_tpu.data.episodic import EpisodicDataset
+
+    ds = EpisodicDataset.__new__(EpisodicDataset)
+    ds.data_list = [("img0", "lab0")]
+    ds.class_files = {1: [("img0", "lab0"), ("img1", "lab1")]}
+    ds.class_list = [1]
+    ds.random_shot = False
+    ds.shot = 3
+    ds.max_shot = 3
+    ds.meta_aug = 1
+
+    import few_shot_seg_cwt_tpu.data.episodic as E
+
+    orig = E._read_pair
+    E._read_pair = lambda ip, lp: (
+        np.zeros((40, 40, 3), np.float32),
+        np.pad(np.ones((20, 20), np.uint8), ((0, 20), (0, 20))),
+    )
+    try:
+        with pytest.raises(RuntimeError, match="cannot draw"):
+            ds.sample(0)
+    finally:
+        E._read_pair = orig
