@@ -70,6 +70,15 @@ class HeadEngine:
 
     def __init__(self, cfg, head_type: str, frozen_match: Optional[MatchNet] = None):
         assert head_type in HEAD_TYPES
+        if head_type in ("detr", "match", "chm") and int(cfg.shot) > 1:
+            # same limitation as the reference: its get_corr views k with q's
+            # batch (model_util.py:101-109), so DeTr/MatchNet/CHM only ever
+            # run the 1-shot protocol (train_trans/train_match are 1-shot);
+            # fail with a clear message instead of an einsum shape error
+            raise ValueError(
+                f"head '{head_type}' supports shot=1 only (got shot={cfg.shot});"
+                " use the mmn head for k-shot episodes"
+            )
         self.cfg = cfg
         self.head_type = head_type
         self.backbone = build_pspnet(cfg)

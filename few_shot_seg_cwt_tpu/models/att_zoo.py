@@ -19,13 +19,6 @@ from ..ops.corr import l2norm
 _linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
-def _mask_bias(attn: jnp.ndarray, s_valid_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """Additive -1000 on masked support positions; mask: (B, N_s), 1 = drop."""
-    if s_valid_mask is None:
-        return attn
-    return attn + s_valid_mask[:, None, :].astype(attn.dtype) * (-1000.0)
-
-
 class CrossAttention(nn.Module):
     n_head: int = 4
     dim: int = 512

@@ -236,6 +236,10 @@ class DeformAtt(nn.Module):
         ref = jnp.asarray(ref)[None, :, None, :].repeat(b, 0)       # (B, hw, 1, 2)
 
         value_flat = f_q.reshape(b, h * w, -1)
+        # input_padding_mask deliberately None: the padding_mask feeds ONLY
+        # the positional encoding, exactly like the reference's
+        # `input_padding_mask=None` at detr.py:94 — the value-zeroing path in
+        # MSDeformAttn exists for API parity but the reference never uses it
         out = MSDeformAttn(
             d_model=self.embed_dims, n_levels=self.n_levels,
             n_heads=self.n_heads, n_points=self.n_points, name="self_trans",

@@ -46,7 +46,8 @@ class NeighConsensus(nn.Module):
         for i, (ksz, ch) in enumerate(zip(self.kernel_sizes, self.channels)):
             cls = CONV4D[self.conv]
             kwargs = dict(out_channels=ch, kernel_size=(ksz,) * 4,
-                          padding=(1,) * 4, use_bias=True, name=f"conv4d_{i}")
+                          padding=(ksz // 2,) * 4, use_bias=True,
+                          name=f"conv4d_{i}")
             if cls is CenterPivotConv4d:
                 kwargs["stride"] = (1,) * 4
             blocks.append(cls(**kwargs))

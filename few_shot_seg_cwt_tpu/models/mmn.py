@@ -32,16 +32,6 @@ def parse_bids(rmid: str) -> List[int]:
     return [int(ch) for ch in rmid[1:]]
 
 
-def match_channels(cfg) -> int:
-    """Number of correlation channels fed to MatchNet (mmn.py:36-39)."""
-    if cfg.get("agg", "cat") == "sum":
-        return 1
-    nb = RESNET_DEPTHS[cfg.layers]
-    return sum(
-        nb[i - 1] if str(i) in str(cfg.all_lr) else 1 for i in parse_bids(cfg.rmid)
-    )
-
-
 class MMN(nn.Module):
     """Multi-layer matching over backbone block features."""
 

@@ -93,7 +93,12 @@ def att_weighted_out(
     temp: float = 20.0,
     ig_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """softmax(sim*temp) readout -> (B, h, w, C); ignored entries set to 1e-5."""
+    """softmax(sim*temp) readout -> (B, h, w, C); ignored entries set to 1e-5.
+
+    The 1e-5 ignore fill is reference-exact for THIS function
+    (model_util.py:231); MatchNet's readout uses 1e-4 (match.py) — the two
+    constants intentionally differ, matching the reference's two sites.
+    """
     b, h, w, c = v.shape
     if ig_mask is not None:
         sim = jnp.where(ig_mask[:, None, :], 1e-5, sim)
@@ -173,6 +178,11 @@ def adapt_reset_spt_label_np(
 
     Returns (new label, list of inherited base-class weight rows, num_cls).
     """
+    # NOTE reference-exact wart: the relabeling below mutates s_label INSIDE
+    # the frequency loop, so pixels relabeled to num_cls can be re-matched by
+    # a later loop index i == num_cls and folded into background while their
+    # inherited weight row stays in cls_init_wt. The reference does exactly
+    # this (model_util.py:146-152); replicated for parity, not endorsed.
     s_label = s_label.copy()
     pred_mask = pred.argmax(-1)
     if sub_cls is not None and sub_cls > 0:

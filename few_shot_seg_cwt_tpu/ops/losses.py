@@ -64,10 +64,11 @@ def class_balance_weights(
 ) -> jnp.ndarray:
     """Per-episode dynamic class weights [1, (n_bg/n_fg)**tp].
 
-    Matches the reference's host-side pixel counting (src/train.py:211-216:
-    bg counts label==0 pixels, fg counts label==fg_idx pixels; 255 excluded)
-    but runs on-device. ``tp`` generalizes to Adapt_SegLoss
-    (src/model/model_util.py:88-97).
+    bg counts EVERY valid non-fg pixel ("all pixels not belonging to current
+    cls CONSIDERED as BG", reference model_util.py:30,92) — identical to the
+    reference's label==0 count for binary labels (src/train.py:211-216) and
+    reference-exact for the multi-way CCA labels. 255 excluded; runs
+    on-device. ``tp`` generalizes to Adapt_SegLoss (model_util.py:88-97).
     """
     valid = label != ignore_index
     fg_cnt = jnp.sum((label == fg_idx) & valid).astype(jnp.float32)

@@ -155,7 +155,7 @@ def _vmem_need(shot: int, h: int, w: int, c: int, big_h: int, big_w: int) -> int
         4 * 2 * (
             shot * h * w * c               # f_s
             + shot * big_h * big_w         # sign-packed pixel weights
-            + (big_h + big_w) * h          # A, B
+            + big_h * h + big_w * w        # A (big_h, h), B (big_w, w)
         )
         + 4 * (3 * big_h * big_w + h * w * 128)   # fixed scratch
         + shot * 8 * big_h * big_w * 4            # per-shot unrolled transients
