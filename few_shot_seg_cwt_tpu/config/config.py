@@ -169,6 +169,7 @@ _DEFAULTS: Dict[str, Any] = {
     "distributed": False,
     "port": 0,
     "mesh_shape": None,        # e.g. [8] or [4, 2]; None = all local devices
+    "multi_host": False,       # jax.distributed.initialize() before mesh build
     "mesh_axes": ["data"],
     "episode_batch": 8,        # episodes vmapped per device step (eval)
     "compute_dtype": "float32",  # 'float32' | 'bfloat16'
@@ -226,7 +227,19 @@ def _coerce(replacement: Any, original: Any, full_key: str) -> Any:
     if original is None or type(replacement) is type(original):
         return replacement
     # union-typed knobs (reference yaml uses e.g. `aux: False` or `aux: 0.5`)
-    if isinstance(original, bool) and isinstance(replacement, (bool, int, float, str)):
+    if isinstance(original, bool) and isinstance(replacement, str):
+        # literal_eval only accepts Python spellings; map shell-style
+        # true/false instead of storing a truthy string (the reference raises
+        # here, util.py:377-407 — accepting 'false' as ON would be a trap)
+        low = replacement.strip().lower()
+        if low in ("true", "1", "yes"):
+            return True
+        if low in ("false", "0", "no"):
+            return False
+        raise ValueError(
+            f"boolean key {full_key} got non-boolean string {replacement!r}"
+        )
+    if isinstance(original, bool) and isinstance(replacement, (bool, int, float)):
         return replacement
     casts = [(tuple, list), (list, tuple), (int, float)]
     for from_type, to_type in casts:

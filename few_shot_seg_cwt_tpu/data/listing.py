@@ -50,9 +50,12 @@ def process_line(
     return items, by_class
 
 
-def _cache_key(data_list: str, class_list: Sequence[int]) -> str:
+def _cache_key(data_root: str, data_list: str, class_list: Sequence[int]) -> str:
     st = os.stat(data_list)
-    blob = json.dumps([data_list, st.st_mtime, st.st_size, sorted(class_list)])
+    # data_root is part of the key: the cached items hold absolute paths
+    # built from it, so a different root must never reuse an old scan
+    blob = json.dumps([os.path.abspath(data_root), data_list,
+                       st.st_mtime, st.st_size, sorted(class_list)])
     return hashlib.sha1(blob.encode()).hexdigest()[:16]
 
 
@@ -68,7 +71,7 @@ def make_dataset(
         raise RuntimeError(f"Image list file does not exist: {data_list}")
 
     if cache_dir:
-        cache_path = os.path.join(cache_dir, f"scan_{_cache_key(data_list, class_list)}.pkl")
+        cache_path = os.path.join(cache_dir, f"scan_{_cache_key(data_root, data_list, class_list)}.pkl")
         if os.path.isfile(cache_path):
             with open(cache_path, "rb") as f:
                 return pickle.load(f)

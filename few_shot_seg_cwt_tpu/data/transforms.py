@@ -142,14 +142,18 @@ class RandScale:
         label = cv2.resize(np.asarray(label, np.float32), None, fx=fx, fy=fy,
                            interpolation=cv2.INTER_NEAREST)
         if self.fixed_size:
-            nh, nw = image.shape[:2]
+            # clamp the paste: the reference avoids overflow only because its
+            # meta-aug paths hardcode 473 (get_aug_data*, dataset.py:338);
+            # generalizing fixed_size to image_size (e.g. 321) means a scaled
+            # long side can exceed the canvas — crop instead of crashing
+            nh, nw = min(image.shape[0], self.fixed_size), min(image.shape[1], self.fixed_size)
             canvas = np.zeros((self.fixed_size, self.fixed_size, 3), np.float32)
             if self.padding is not None:
                 canvas[:] = np.asarray(self.padding, np.float32)
-            canvas[:nh, :nw] = image
+            canvas[:nh, :nw] = image[:nh, :nw]
             image = canvas
             lbl_canvas = np.full((self.fixed_size, self.fixed_size), 255.0, np.float32)
-            lbl_canvas[:nh, :nw] = label
+            lbl_canvas[:nh, :nw] = label[:nh, :nw]
             label = lbl_canvas
         return image, label
 

@@ -97,6 +97,9 @@ def make_pretrain_step(model, optimizer, cfg):
         (loss, (new_stats, logits)), grads = grad_fn(params, batch_stats, img, gt, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # NOTE: under mixup these are the mixed-image logits scored against
+        # the unmixed gt — exactly what the reference logs (pretrain.py:126);
+        # the train mIoU is indicative only, model selection uses validation
         inter, union, tgt = intersection_and_union(
             jnp.argmax(logits, -1), gt, num_classes
         )
@@ -123,13 +126,37 @@ def make_standard_eval(cfg, model):
     return eval_batch
 
 
-def standard_validate(cfg, eval_batch, params, batch_stats, loader, log=print
-                      ) -> Tuple[float, float]:
-    """Pixel mIoU over the val list at train-class indexing (src:222-249)."""
+def standard_validate(cfg, eval_batch, params, batch_stats, loader, log=print,
+                      mesh=None) -> Tuple[float, float]:
+    """Pixel mIoU over the val list at train-class indexing (src:222-249).
+
+    Multi-host: the loader is rank-strided (disjoint slices) and each batch
+    is assembled into a global sharded array, so the jitted I/U reduction
+    returns identical REPLICATED sums on every host — all processes reach
+    the same best-ckpt decision (collective saves must not diverge).
+    """
     inters = np.zeros(cfg.num_classes_tr)
     unions = np.zeros(cfg.num_classes_tr)
     loss_meter = AverageMeter()
     for batch in loader:
+        n = batch["label"].shape[0]
+        if n < loader.batch_size:
+            # pad the drop_last=False tail to the static batch size with
+            # all-255 labels: ignored by I/U, keeps the jitted shape stable
+            # (no tail recompile) and the mesh sharding divisible
+            pad = loader.batch_size - n
+            batch = {
+                "img": np.concatenate(
+                    [batch["img"], np.zeros((pad, *batch["img"].shape[1:]),
+                                            batch["img"].dtype)], 0),
+                "label": np.concatenate(
+                    [batch["label"], np.full((pad, *batch["label"].shape[1:]),
+                                             255, batch["label"].dtype)], 0),
+            }
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, mesh)
         inter, union, loss = jax.tree.map(
             np.asarray, eval_batch(params, batch_stats, batch["img"], batch["label"])
         )
@@ -182,10 +209,20 @@ def main(cfg) -> float:
         train_ds = StandardDataset(cfg, train=True)
         val_ds = StandardDataset(cfg, train=False)
 
-    train_loader = EpisodeLoader(train_ds, batch_size=cfg.batch_size, shuffle=True,
-                                 num_workers=cfg.workers, seed=cfg.manual_seed or 0)
-    val_loader = EpisodeLoader(val_ds, batch_size=cfg.batch_size, shuffle=False,
-                               num_workers=cfg.workers, drop_last=False)
+    # multi-host: each process builds batch_size/P records with a per-process
+    # seed offset; the val loader gets a disjoint rank-strided slice (same
+    # scheme as episodic_loaders / episodic_val_loader in common.py)
+    from .common import _local_batch
+
+    local_bs = _local_batch(int(cfg.batch_size))
+    train_loader = EpisodeLoader(
+        train_ds, batch_size=local_bs, shuffle=True, num_workers=cfg.workers,
+        seed=(cfg.manual_seed or 0) + jax.process_index(),
+    )
+    val_loader = EpisodeLoader(
+        val_ds, batch_size=local_bs, shuffle=False, num_workers=cfg.workers,
+        drop_last=False, rank=jax.process_index(), world=jax.process_count(),
+    )
 
     iters_per_epoch = len(train_loader)
     optimizer = param_group_optimizer(cfg, params, iters_per_epoch)
@@ -217,6 +254,9 @@ def main(cfg) -> float:
         ep_cfg = cfg.clone()
         ep_cfg.num_classes_tr = 2
         ep_engine = EpisodicEngine(ep_cfg)
+        # eval mesh sized for the EPISODE batch (the train mesh divides
+        # batch_size, which may not divide episode_batch)
+        ep_mesh = maybe_mesh(ep_cfg)
         from .common import episodic_val_loader
 
         ep_loader = episodic_val_loader(cfg)
@@ -240,7 +280,9 @@ def main(cfg) -> float:
                 params, batch_stats, opt_state, batch["img"], batch["label"], sub
             )
             if i % cfg.log_freq == 0:
-                m = jax.tree.map(np.asarray, metrics)
+                from ..parallel.mesh import to_host
+
+                m = to_host(metrics)
                 miou = float((m["inter"] / (m["union"] + 1e-10)).mean())
                 loss_meter.update(float(m["loss"]))
                 print(f"iter {i}/{epoch}: loss {float(m['loss']):.2f}, "
@@ -250,13 +292,20 @@ def main(cfg) -> float:
         writer.add_scalar("train_loss", loss_meter.avg, epoch)
 
         if cfg.get("episodic_val", False):
+            ep_vars = {"params": params, "batch_stats": batch_stats}
+            if ep_mesh is not None:
+                # the eval mesh can be smaller than the train mesh (it must
+                # divide episode_batch, not batch_size); re-place variables
+                # on it so the jitted program sees one device set
+                from ..parallel.mesh import replicate
+
+                ep_vars = replicate(jax.tree.map(np.asarray, ep_vars), ep_mesh)
             val_miou, _ = episodic_validate(
-                ep_cfg, ep_engine, {"params": params, "batch_stats": batch_stats},
-                ep_loader,
+                ep_cfg, ep_engine, ep_vars, ep_loader, mesh=ep_mesh,
             )
         else:
             val_miou, _ = standard_validate(cfg, std_eval, params, batch_stats,
-                                            val_loader)
+                                            val_loader, mesh=mesh)
         writer.add_scalar("mean_iou/val", val_miou, epoch)
 
         if val_miou > max_val_miou:

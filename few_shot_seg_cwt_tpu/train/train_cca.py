@@ -21,7 +21,7 @@ from ..config import parse_args
 from ..data.loader import infinite
 from ..eval.validate import accumulate_fg_iou, fg_miou
 from ..episodic.cca import CCAEngine, adaptive_relabel_batch, make_base_preds_fn
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import shard_batch, to_host
 from ..utils.ckpt import save_ckpt
 from ..utils.meters import AverageMeter
 from .common import apply_debug, episodic_loaders, init_backbone, maybe_mesh, set_seeds
@@ -91,7 +91,7 @@ def main(cfg, adaptive: bool = False) -> float:
                 trainables, opt_state, vars_b, episodes, sub, None
             )
             if i % 10 == 0 or (epoch == 1 and i <= 2):
-                m = jax.tree.map(np.asarray, metrics)
+                m = to_host(metrics)
                 iou1 = float((m["inter1"] / (m["union1"] + 1e-10)).mean())
                 loss_meter.update(float(m["loss_mean"]))
                 if i % 100 == 0 or (epoch == 1 and i <= 2):
@@ -112,7 +112,7 @@ def main(cfg, adaptive: bool = False) -> float:
                 )
             rngs = jax.random.split(jax.random.fold_in(key, 7_000_000 + b),
                                     val_loader.batch_size)
-            out = jax.tree.map(np.asarray, engine.eval_metrics_batch(
+            out = to_host(engine.eval_metrics_batch(
                 trainables, vars_b, episodes, rngs, None))
             accumulate_fg_iou(acc_i, acc_u, out, suffix="1")
         miou = fg_miou(acc_i, acc_u)

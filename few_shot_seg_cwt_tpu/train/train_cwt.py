@@ -28,7 +28,7 @@ import optax
 from ..config import parse_args
 from ..episodic.engine import EpisodicEngine
 from ..eval.validate import validate_transformer
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import shard_batch, to_host
 from ..utils.ckpt import save_ckpt
 from ..utils.meters import AverageMeter
 from .common import (
@@ -113,8 +113,9 @@ def main(cfg) -> float:
 
             if i % 10 == 0 or (epoch == 0 and i < 5):
                 # sample every 10th step for the epoch averages (a per-step
-                # host sync would serialize dispatch over the device link)
-                m = jax.tree.map(np.asarray, metrics)
+                # host sync would serialize dispatch over the device link);
+                # to_host allgathers episode-sharded metrics on multi-host
+                m = to_host(metrics)
                 iou = (m["inter"] / (m["union"] + 1e-10)).mean()
                 iou0 = (m["inter0"] / (m["union0"] + 1e-10)).mean()
                 loss_meter.update(float(m["loss"]))

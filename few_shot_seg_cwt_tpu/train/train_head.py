@@ -30,7 +30,7 @@ from ..config import parse_args
 from ..data.loader import infinite
 from ..eval.validate import accumulate_fg_iou, fg_miou
 from ..episodic.heads import HeadEngine
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import shard_batch, to_host
 from ..utils.ckpt import save_ckpt
 from ..utils.meters import AverageMeter, CompareMeter
 from .common import (
@@ -116,7 +116,8 @@ def init_head_trainables(cfg, engine: HeadEngine, vars_b):
 def validate_head(cfg, engine: HeadEngine, trainables, vars_b, loader,
                   mesh=None, frozen_vars=None, log=print):
     """Per-class FG-IoU eval for both the blended and attention predictions."""
-    e_batch = loader.batch_size
+    e_local = loader.batch_size                       # per-process episodes
+    e_batch = e_local * jax.process_count()           # global episodes/step
     nb = max(1, cfg.test_num // e_batch)
     key = jax.random.PRNGKey(cfg.manual_seed or 0)
     acc = {k: defaultdict(float) for k in ("i", "u", "i1", "u1")}
@@ -127,8 +128,12 @@ def validate_head(cfg, engine: HeadEngine, trainables, vars_b, loader,
         episodes = {k: batch[k] for k in EP_KEYS}
         if mesh is not None:
             episodes = shard_batch(episodes, mesh)
-        rngs = jax.random.split(jax.random.fold_in(key, b), e_batch)
-        out = jax.tree.map(np.asarray, engine.eval_metrics_batch(
+        rngs = jax.random.split(
+            jax.random.fold_in(key, b * 65_537 + jax.process_index()), e_local
+        )
+        if mesh is not None:
+            rngs = shard_batch(np.asarray(rngs), mesh)
+        out = to_host(engine.eval_metrics_batch(
             trainables, vars_b, episodes, rngs, frozen_vars))
         accumulate_fg_iou(acc["i"], acc["u"], out)
         accumulate_fg_iou(acc["i1"], acc["u1"], out, suffix="1")
@@ -216,7 +221,7 @@ def main(cfg, head_type: Optional[str] = None) -> float:
                 trainables, opt_state, vars_b, episodes, sub, frozen_vars
             )
             if i % 10 == 0 or (epoch == 1 and i <= 2):
-                m = jax.tree.map(np.asarray, metrics)
+                m = to_host(metrics)
                 iou1 = float((m["inter1"] / (m["union1"] + 1e-10)).mean())
                 iou0 = float((m["inter0"] / (m["union0"] + 1e-10)).mean())
                 loss_meter.update(float(m["loss_mean"]))
