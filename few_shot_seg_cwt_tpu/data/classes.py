@@ -15,6 +15,10 @@ from typing import Dict, List
 # public class-id -> name tables (PASCAL VOC-20, COCO-80)
 CLASS_NAMES: Dict[str, Dict[int, str]] = {
     "pascal": {
+        # NOTE 7:cat / 8:car matches the REFERENCE's table (classes.py:94-96),
+        # not official VOC ordering (7:car, 8:cat). The cross-domain name
+        # filter compares names from this table on both sides, so parity
+        # requires keeping the reference's ordering verbatim.
         1: "airplane", 2: "bicycle", 3: "bird", 4: "boat", 5: "bottle",
         6: "bus", 7: "cat", 8: "car", 9: "chair", 10: "cow",
         11: "diningtable", 12: "dog", 13: "horse", 14: "motorcycle",

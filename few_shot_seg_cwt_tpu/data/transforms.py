@@ -324,6 +324,9 @@ def build_aug_pipeline(cfg, names: Sequence[str]) -> Compose:
     """Pipeline factory for the config's ``augmentations`` list
     (reference: src/dataset/dataset.py:22-42)."""
     padding = [v * 255 for v in cfg.mean] if cfg.get("padding") == "avg" else None
+    # crop/rotate borders are ZERO-padded and only resize honors the 'avg'
+    # mean padding — reference-exact (dataset.py:25-35 passes
+    # padding=[0 for x in args.mean] to RandRotate and Crop)
     registry = {
         "randscale": RandScale([cfg.scale_min, cfg.scale_max]),
         "randrotate": RandRotate([cfg.rot_min, cfg.rot_max],
