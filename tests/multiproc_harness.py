@@ -104,7 +104,43 @@ def main(pid: int, nproc: int, port: int, tmpdir: str) -> None:
     save_ckpt(os.path.join(tmpdir, "ckpt"), jax.tree.map(np.asarray, pmesh.to_host(new_params)))
     assert os.path.isdir(os.path.join(tmpdir, "ckpt"))
 
-    print(f"MULTIPROC_OK pid={pid} miou={miou:.4f}", flush=True)
+    # --- the reference's DDP trainer analog: MMN head step + validation ---
+    from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+    from few_shot_seg_cwt_tpu.train.train_head import (
+        init_head_trainables,
+        validate_head,
+    )
+
+    hcfg = type(cfg)({**cfg, "rmid": "l34", "temp": 20.0, "att_wt": 0.5})
+    hengine = HeadEngine(hcfg, "mmn")
+    h_vars_b = pmesh.replicate(
+        init_backbone(type(hcfg)({**hcfg, "resume_weights": None}), hengine), mesh
+    )
+    trainables = pmesh.replicate(
+        jax.tree.map(np.asarray, init_head_trainables(hcfg, hengine, h_vars_b)),
+        mesh,
+    )
+    h_opt = build_optimizer(hcfg, base_lr=hcfg.trans_lr, use_schedule=False)
+    h_state = pmesh.replicate(
+        h_opt.init(jax.tree.map(np.asarray, trainables)), mesh
+    )
+    h_step = hengine.make_train_step(h_opt)
+    batch = next(iter(train_loader))
+    episodes = pmesh.shard_batch(
+        {k: batch[k] for k in ("s_img", "s_label", "q_img", "q_label", "cls")}, mesh
+    )
+    trainables, h_state, h_metrics = h_step(
+        trainables, h_state, h_vars_b, episodes, jax.random.PRNGKey(3), None
+    )
+    h_loss = float(np.asarray(pmesh.to_host(h_metrics["loss_mean"])))
+    assert np.isfinite(h_loss), h_loss
+    miou_h, _, _ = validate_head(
+        hcfg, hengine, trainables, h_vars_b, val_loader, mesh, None, log=log
+    )
+    assert 0.0 <= miou_h <= 1.0
+
+    print(f"MULTIPROC_OK pid={pid} miou={miou:.4f} head_miou={miou_h:.4f}",
+          flush=True)
 
 
 if __name__ == "__main__":
