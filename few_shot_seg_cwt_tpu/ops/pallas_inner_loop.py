@@ -53,34 +53,43 @@ def _kernel(num_steps: int, lr: float, shot: int,
     n_chunks = u0.shape[0]
     scale = 2.0 * lr
 
+    def shot_grad(sidx, u):
+        """One shot's (n_chunks, chunk) gradient contribution."""
+        d60 = jnp.zeros((a.shape[1], b.shape[1]), jnp.float32)
+        for k in range(n_chunks):                                    # static
+            blk = fs_ref[sidx * n_chunks + k]
+            d60 += jnp.sum(blk * u[k][None, None, :], axis=-1)       # VPU
+        d473 = jnp.dot(
+            jnp.dot(a, d60, preferred_element_type=jnp.float32),
+            b.T, preferred_element_type=jnp.float32,
+        )                                                            # (H, W)
+        # g = pw*(sigmoid(d) - y) with pws = pw*(1-2y):
+        #   g = |pws|*(sigmoid(d) - 0.5) + 0.5*pws
+        pws = pws_ref[sidx]
+        g = jnp.abs(pws) * (jax.nn.sigmoid(d473) - 0.5) + 0.5 * pws
+        g60 = jnp.dot(
+            jnp.dot(a.T, g, preferred_element_type=jnp.float32),
+            b, preferred_element_type=jnp.float32,
+        )                                                            # (h, w)
+        gu = [
+            jnp.sum(fs_ref[sidx * n_chunks + k] * g60[:, :, None],
+                    axis=(0, 1))                                      # (chunk,)
+            for k in range(n_chunks)
+        ]
+        return jnp.stack(gu, axis=0)
+
     def step(_, acc):
         u = u0 - scale * acc                                         # (n, chunk)
-        gu_total = None
-        for sidx in range(shot):                                     # static
-            d60 = jnp.zeros((a.shape[1], b.shape[1]), jnp.float32)
-            for k in range(n_chunks):                                # static
-                blk = fs_ref[sidx * n_chunks + k]
-                d60 += jnp.sum(blk * u[k][None, None, :], axis=-1)   # VPU
-            d473 = jnp.dot(
-                jnp.dot(a, d60, preferred_element_type=jnp.float32),
-                b.T, preferred_element_type=jnp.float32,
-            )                                                        # (H, W)
-            # g = pw*(sigmoid(d) - y) with pws = pw*(1-2y):
-            #   g = |pws|*(sigmoid(d) - 0.5) + 0.5*pws
-            pws = pws_ref[sidx]
-            g = jnp.abs(pws) * (jax.nn.sigmoid(d473) - 0.5) + 0.5 * pws
-            g60 = jnp.dot(
-                jnp.dot(a.T, g, preferred_element_type=jnp.float32),
-                b, preferred_element_type=jnp.float32,
-            )                                                        # (h, w)
-            gu = [
-                jnp.sum(fs_ref[sidx * n_chunks + k] * g60[:, :, None],
-                        axis=(0, 1))                                  # (chunk,)
-                for k in range(n_chunks)
-            ]
-            gu = jnp.stack(gu, axis=0)
-            gu_total = gu if gu_total is None else gu_total + gu
-        return acc + gu_total
+        if shot == 1:
+            # keep the 1-shot hot path free of loop machinery
+            return acc + shot_grad(0, u)
+        # multi-shot: a fori_loop (dynamic ref indexing) instead of a static
+        # unroll, so Mosaic reuses ONE shot's worth of (H, W) transients —
+        # the static unroll kept ~8 live pixel maps PER shot and dominated
+        # the multi-shot VMEM budget
+        return jax.lax.fori_loop(
+            0, shot, lambda s, tot: tot + shot_grad(s, u), acc
+        )
 
     acc_ref[:] = jax.lax.fori_loop(0, num_steps, step, jnp.zeros_like(u0))
 
@@ -147,9 +156,11 @@ def _vmem_need(shot: int, h: int, w: int, c: int, big_h: int, big_w: int) -> int
     """VMEM-need model (bytes), calibrated against Mosaic's measured usage.
 
     Double-buffered inputs across the vmap grid, plus ~8 live (H, W) pixel
-    maps per statically-unrolled shot (d473/g/sigmoid transients — the term
-    that closes the gap between the naive input model (~88 MB at 5-shot) and
-    Mosaic's measured 122.2 MB), plus fixed scratch.
+    maps of shot-loop transients (d473/g/sigmoid). With the multi-shot
+    fori_loop the transients are REUSED across shots (budget two shots'
+    worth for pipelining margin) — the earlier static unroll kept 8 maps per
+    shot live (measured 122.2 MB at 5-shot); the loop form compiles and runs
+    within this model's 106 MB 5-shot grant. Plus fixed scratch.
     """
     return (
         4 * 2 * (
@@ -158,9 +169,8 @@ def _vmem_need(shot: int, h: int, w: int, c: int, big_h: int, big_w: int) -> int
             + big_h * h + big_w * w        # A (big_h, h), B (big_w, w)
         )
         + 4 * (3 * big_h * big_w + h * w * 128)   # fixed scratch
-        + shot * 8 * big_h * big_w * 4            # per-shot unrolled transients
-        + 4 * 1024 * 1024                         # safety margin (model is
-                                                  # within ~1% of measured)
+        + min(shot, 2) * 8 * big_h * big_w * 4    # shot-loop transients
+        + 4 * 1024 * 1024                         # safety margin
     )
 
 
