@@ -179,8 +179,16 @@ def main() -> None:
             for i in range(n_batches + 1)
         ]
 
+        # BENCH_EVAL_PROGRAM=metrics times the full metrics program (inner
+        # loop + CWT + 473px upsample + argmax + per-class I/U) instead of
+        # the logits-only eval_batch
+        eval_fn = (
+            engine.eval_metrics_batch
+            if os.environ.get("BENCH_EVAL_PROGRAM") == "metrics"
+            else engine.eval_batch
+        )
         t_c = time.time()
-        lowered = engine.eval_batch.lower(
+        lowered = eval_fn.lower(
             vars_b, vars_t, episode_batches[0], rng_arrays[-1]
         )
         compiled = lowered.compile()
@@ -188,7 +196,8 @@ def main() -> None:
         flops_total = _cost_flops(compiled)
 
         out = compiled(vars_b, vars_t, episode_batches[0], rng_arrays[-1])
-        np.asarray(out["pred_q"])
+        sync_key = "pred_q" if "pred_q" in out else "loss"
+        np.asarray(out[sync_key])
 
         batch_times = []
         for i in range(n_batches):
@@ -196,7 +205,7 @@ def main() -> None:
             out = compiled(
                 vars_b, vars_t, episode_batches[i % len(episode_batches)], rng_arrays[i]
             )
-            np.asarray(out["pred_q"][0, 0, 0])  # force completion of each step
+            np.asarray(out[sync_key]).ravel()[0]  # force completion of each step
             batch_times.append(time.time() - t0)
         metric_name = (f"episodes/sec/chip ({shot}-shot eval @{size}px, "
                        f"adapt_iter={cfg.adapt_iter}, {dtype})")

@@ -40,8 +40,18 @@ def weighted_cross_entropy(
     valid = target != ignore_index
     tgt = jnp.where(valid, target, 0).astype(jnp.int32)
     logp = _log_softmax(logits.astype(jnp.float32))
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    w = class_weights.astype(jnp.float32)[tgt] * valid.astype(jnp.float32)
+    cw = class_weights.astype(jnp.float32)
+    if num_classes == 2:
+        # gather-free fast path: per-pixel gathers (take_along_axis and the
+        # class_weights[tgt] indexed read) lower to slow TPU gathers at
+        # 473^2 x batch scale; binary selects keep the VPU lanes full
+        is_fg = tgt == 1
+        nll = -jnp.where(is_fg, logp[..., 1], logp[..., 0])
+        w = jnp.where(is_fg, cw[1], cw[0]) * valid.astype(jnp.float32)
+    else:
+        onehot = (tgt[..., None] == jnp.arange(num_classes)).astype(jnp.float32)
+        nll = -jnp.sum(logp * onehot, axis=-1)
+        w = jnp.sum(cw * onehot, axis=-1) * valid.astype(jnp.float32)
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 

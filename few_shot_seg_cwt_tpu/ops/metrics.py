@@ -34,12 +34,26 @@ def intersection_and_union(
     preds = preds.reshape(-1)
     target = target.reshape(-1)
     valid = target != ignore_index
-    cls = jnp.arange(num_classes, dtype=preds.dtype)
-    pred_hit = (preds[:, None] == cls[None, :]) & valid[:, None]
-    tgt_hit = (target[:, None] == cls[None, :]) & valid[:, None]
-    area_inter = jnp.sum(pred_hit & tgt_hit, axis=0).astype(jnp.float32)
-    area_out = jnp.sum(pred_hit, axis=0).astype(jnp.float32)
-    area_tgt = jnp.sum(tgt_hit, axis=0).astype(jnp.float32)
+    if num_classes <= 8:
+        # small-K fast path: K full-lane (N,) passes instead of an (N, K)
+        # broadcast whose lane dimension is K (127/128 lanes idle at K=2)
+        inters, outs, tgts = [], [], []
+        for c in range(num_classes):
+            p = (preds == c) & valid
+            t = (target == c) & valid
+            inters.append(jnp.sum(p & t))
+            outs.append(jnp.sum(p))
+            tgts.append(jnp.sum(t))
+        area_inter = jnp.stack(inters).astype(jnp.float32)
+        area_out = jnp.stack(outs).astype(jnp.float32)
+        area_tgt = jnp.stack(tgts).astype(jnp.float32)
+    else:
+        cls = jnp.arange(num_classes, dtype=preds.dtype)
+        pred_hit = (preds[:, None] == cls[None, :]) & valid[:, None]
+        tgt_hit = (target[:, None] == cls[None, :]) & valid[:, None]
+        area_inter = jnp.sum(pred_hit & tgt_hit, axis=0).astype(jnp.float32)
+        area_out = jnp.sum(pred_hit, axis=0).astype(jnp.float32)
+        area_tgt = jnp.sum(tgt_hit, axis=0).astype(jnp.float32)
     return area_inter, area_out + area_tgt - area_inter, area_tgt
 
 
