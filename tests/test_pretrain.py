@@ -20,6 +20,7 @@ def _cfg(**over):
     return merge_cfg_from_list(cfg, opts)
 
 
+@pytest.mark.slow  # ~1 min of pretrain-program compile on 1 CPU
 def test_pretrain_standard_validation():
     from few_shot_seg_cwt_tpu.train.pretrain import main
 
