@@ -59,15 +59,19 @@ class EpisodeLoader:
         self.drop_last = drop_last
         self.epoch = 0
         # DistributedSampler analog (reference src/dataset/dataset.py:57-68):
-        # process `rank` of `world` covers indices rank, rank+world, ... so
-        # the union over processes is disjoint and covers the dataset.
+        # process `rank` of `world` covers indices rank, rank+world, ...;
+        # every rank is padded (by cyclic wrap, like DistributedSampler's
+        # total_size padding) to the SAME per-rank count — unequal batch
+        # counts would deadlock collective eval loops on multi-host.
         assert 0 <= rank < world, (rank, world)
         self.rank = rank
         self.world = world
 
+    def _per_rank(self) -> int:
+        return -(-len(self.dataset) // self.world)  # ceil
+
     def __len__(self) -> int:
-        n = len(self.dataset)
-        n = (n - self.rank + self.world - 1) // self.world
+        n = self._per_rank()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int) -> None:
@@ -79,8 +83,9 @@ class EpisodeLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             order = rng.permutation(n).tolist()
         else:
-            order = range(n)
-        yield from itertools.islice(order, self.rank, None, self.world)
+            order = list(range(n))
+        for k in range(self._per_rank()):
+            yield order[(self.rank + self.world * k) % n]
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         idx_stream = self._index_stream()

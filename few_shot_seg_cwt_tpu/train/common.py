@@ -50,6 +50,15 @@ def maybe_mesh(cfg):
         return make_mesh(cfg.mesh_shape, tuple(cfg.get("mesh_axes", ["data"])))
     n_dev = len(jax.devices())
     e = int(cfg.episode_batch)
+    if jax.process_count() > 1:
+        # multi-host: a mesh over a device SUBSET would leave some hosts
+        # owning zero mesh devices and break the global-array assembly —
+        # the mesh must span every process's chips
+        assert e % n_dev == 0, (
+            f"multi-host runs need episode_batch ({e}) divisible by the "
+            f"global device count ({n_dev})"
+        )
+        return make_mesh([n_dev], ("data",))
     n = 0
     for d in range(min(n_dev, e), 0, -1):
         if e % d == 0:

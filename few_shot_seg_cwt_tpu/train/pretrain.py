@@ -172,7 +172,10 @@ def standard_validate(cfg, eval_batch, params, batch_stats, loader, log=print,
 def main(cfg) -> float:
     from ..parallel.mesh import distributed_init
 
+    from ..utils.logging import get_logger
+
     distributed_init(cfg)  # MUST precede any jax call on multi-host runs
+    print = get_logger()  # noqa: A001 — process-0-gated on multi-host
     print(cfg)
     set_seeds(cfg)
     apply_debug(cfg)
@@ -209,19 +212,22 @@ def main(cfg) -> float:
         train_ds = StandardDataset(cfg, train=True)
         val_ds = StandardDataset(cfg, train=False)
 
-    # multi-host: each process builds batch_size/P records with a per-process
-    # seed offset; the val loader gets a disjoint rank-strided slice (same
-    # scheme as episodic_loaders / episodic_val_loader in common.py)
+    # multi-host: DistributedSampler semantics — every process shuffles with
+    # the SAME seed and takes a disjoint rank-strided slice, so the global
+    # assembled batch covers the dataset exactly once per epoch (per-process
+    # seed offsets would visit each image P times per epoch and could place
+    # the same image twice in one global batch)
     from .common import _local_batch
 
     local_bs = _local_batch(int(cfg.batch_size))
+    rank, world = jax.process_index(), jax.process_count()
     train_loader = EpisodeLoader(
         train_ds, batch_size=local_bs, shuffle=True, num_workers=cfg.workers,
-        seed=(cfg.manual_seed or 0) + jax.process_index(),
+        seed=cfg.manual_seed or 0, rank=rank, world=world,
     )
     val_loader = EpisodeLoader(
         val_ds, batch_size=local_bs, shuffle=False, num_workers=cfg.workers,
-        drop_last=False, rank=jax.process_index(), world=jax.process_count(),
+        drop_last=False, rank=rank, world=world,
     )
 
     iters_per_epoch = len(train_loader)
@@ -293,19 +299,24 @@ def main(cfg) -> float:
 
         if cfg.get("episodic_val", False):
             ep_vars = {"params": params, "batch_stats": batch_stats}
-            if ep_mesh is not None:
+            same_mesh = (
+                ep_mesh is None or mesh is None
+                or ep_mesh.devices.tolist() == mesh.devices.tolist()
+            )
+            if ep_mesh is not None and not same_mesh:
                 # the eval mesh can be smaller than the train mesh (it must
                 # divide episode_batch, not batch_size); re-place variables
-                # on it so the jitted program sees one device set
+                # on it so the jitted program sees one device set.
+                # device_put moves device->device — no host round trip
                 from ..parallel.mesh import replicate
 
-                ep_vars = replicate(jax.tree.map(np.asarray, ep_vars), ep_mesh)
+                ep_vars = replicate(ep_vars, ep_mesh)
             val_miou, _ = episodic_validate(
-                ep_cfg, ep_engine, ep_vars, ep_loader, mesh=ep_mesh,
+                ep_cfg, ep_engine, ep_vars, ep_loader, mesh=ep_mesh, log=print,
             )
         else:
             val_miou, _ = standard_validate(cfg, std_eval, params, batch_stats,
-                                            val_loader, mesh=mesh)
+                                            val_loader, log=print, mesh=mesh)
         writer.add_scalar("mean_iou/val", val_miou, epoch)
 
         if val_miou > max_val_miou:

@@ -32,7 +32,10 @@ from .train_head import EP_KEYS, init_head_trainables
 def main(cfg, adaptive: bool = False) -> float:
     from ..parallel.mesh import distributed_init
 
+    from ..utils.logging import get_logger
+
     distributed_init(cfg)  # MUST precede any jax call on multi-host runs
+    print = get_logger()  # noqa: A001 — process-0-gated on multi-host
     print(cfg)
     set_seeds(cfg)
     apply_debug(cfg)
@@ -99,10 +102,14 @@ def main(cfg, adaptive: bool = False) -> float:
                           f"IoU1 {iou1:.3f}")
         print(f"==== Epoch {epoch}: loss {loss_meter.avg:.3f} ({time.time()-t0:.1f}s)")
 
-        # validation: binary FG IoU per class
+        # validation: binary FG IoU per class (multi-host: global episode
+        # count, per-process rng slices, episodes+rngs assembled via
+        # shard_batch — same protocol as eval/validate.validate_transformer)
         acc_i, acc_u = defaultdict(float), defaultdict(float)
         stream = infinite(val_loader)
-        nb = max(1, cfg.test_num // val_loader.batch_size)
+        e_local = val_loader.batch_size
+        e_global = e_local * jax.process_count()
+        nb = max(1, cfg.test_num // e_global)
         for b in range(nb):
             vb = next(stream)
             episodes = {k: np.asarray(vb[k]) for k in EP_KEYS}
@@ -110,8 +117,15 @@ def main(cfg, adaptive: bool = False) -> float:
                 episodes = adaptive_relabel_batch(
                     cfg, engine, vars_b, episodes, base_preds_fn, relabel_rng
                 )
-            rngs = jax.random.split(jax.random.fold_in(key, 7_000_000 + b),
-                                    val_loader.batch_size)
+            rngs = jax.random.split(
+                jax.random.fold_in(
+                    key, 7_000_000 + b * 65_537 + jax.process_index()
+                ),
+                e_local,
+            )
+            if mesh is not None:
+                episodes = shard_batch(episodes, mesh)
+                rngs = shard_batch(np.asarray(rngs), mesh)
             out = to_host(engine.eval_metrics_batch(
                 trainables, vars_b, episodes, rngs, None))
             accumulate_fg_iou(acc_i, acc_u, out, suffix="1")
