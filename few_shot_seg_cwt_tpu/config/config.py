@@ -140,6 +140,9 @@ _DEFAULTS: Dict[str, Any] = {
     "aux": False,              # aux loss weight (False = off)
     "sce": False,              # MatchNet spatial context encoder
     "cyc": False,              # MatchNet cycle-consistency mask
+    "ignore": False,           # match head: ig_mask re-readout (src/train_match.py:320)
+    "wt_file": 0,              # 1 -> resume from best1.pth (src/train_aug.py:60)
+    "load_bg": False,          # cca1: seed BG row from base classifier (src/train_cca1.py:150)
     "drop": False,             # DeTr adjust-feature dropout
     "matchnet_ckpt": None,     # frozen MatchNet for train_fuse
     "ln": None,                # CrossAttention layer norms

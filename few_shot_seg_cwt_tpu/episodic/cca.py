@@ -221,6 +221,9 @@ def adaptive_relabel_batch(cfg, engine: CCAEngine, vars_b, batch,
         w0 = rng.uniform(-bound, bound, size=(k, c)).astype(np.float32)
         for j, wt in enumerate(cls_init_wt):
             w0[2 + j] = wt
+        if cfg.get("load_bg", False):
+            # seed the BG row from the base classifier (src/train_cca1.py:150-151)
+            w0[0] = pre_w[0]
         mask = np.zeros(k, bool)
         mask[:num_cls] = True
         labels.append(new_lab)

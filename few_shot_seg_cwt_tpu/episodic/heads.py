@@ -33,7 +33,7 @@ from ..models.matching import MatchNet
 from ..models.mmn import build_mmn
 from ..models.pspnet import apply_classifier, build_pspnet, init_classifier_weights
 from ..ops.corr import get_corr
-from ..ops.episode_utils import get_ig_mask, outer_forward
+from ..ops.episode_utils import att_weighted_out, get_ig_mask, outer_forward
 from ..ops.losses import class_balance_weights, cross_entropy, seg_loss, weighted_cross_entropy
 from ..ops.metrics import intersection_and_union
 from ..ops.resize import upsample_bilinear_ac
@@ -226,11 +226,25 @@ class HeadEngine:
         qw = class_balance_weights(episode["q_label"], self.num_classes)
         crit = lambda lg: weighted_cross_entropy(lg, episode["q_label"], qw)
         fq_fea, fs_fea = self._stage_features(parts)
-        wv = self.head.apply(
+        # cycle-consistency and the ignore-mask re-readout are eval-only in the
+        # reference: training hard-codes use_cyc=False (src/train_match.py:163)
+        # while validation passes args.cyc / applies args.ignore (:318-322)
+        wv, corr1 = self.head.apply(
             head_vars, fq_fea, fs_fea, parts["f_s"],
-            s_mask=jnp.argmax(parts["pd_s"], -1), deterministic=det,
+            s_mask=jnp.argmax(parts["pd_s"], -1), use_cyc=det,
+            deterministic=det, ret_corr=True,
             rngs=None if det else {"dropout": rng},
         )
+        if det and cfg.get("ignore", False):
+            b, h, w, _ = parts["f_q"].shape
+            sim = corr1.reshape(1, h * w, h * w)
+            ig_mask = get_ig_mask(sim, episode["s_label"][:1],
+                                  episode["q_label"][None],
+                                  parts["pd_q0"], parts["pd_s"][:1])
+            # the reference reads out over the QUERY feature here (v=f_q,
+            # src/train_match.py:322) — replicated verbatim
+            wv = att_weighted_out(sim, parts["f_q"], temp=cfg.temp,
+                                  ig_mask=ig_mask)
         pred1 = self._cls_up(parts["w"], wv)[0]
         out = (wv * cfg.att_wt + parts["f_q"]) / (1 + cfg.att_wt)
         pred = self._cls_up(parts["w"], out)[0]

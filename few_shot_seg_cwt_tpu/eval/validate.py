@@ -32,15 +32,35 @@ def _episode_fields(batch: Dict) -> Dict:
 
 
 def accumulate_fg_iou(inter_acc: Dict[int, float], union_acc: Dict[int, float],
-                      out: Dict, suffix: str = "") -> None:
-    """Per-class foreground I/U accumulation shared by all validators."""
+                      out: Dict, suffix: str = "",
+                      limit: Optional[int] = None) -> None:
+    """Per-class foreground I/U accumulation shared by all validators.
+
+    ``limit`` scores only the first N episodes of the batch — the tail batch
+    of an exact-count protocol carries filler episodes past ``test_num``.
+    """
     classes = out["cls"]
     inter = out[f"inter{suffix}"]
     union = out[f"union{suffix}"]
-    for i in range(len(classes)):
+    n = len(classes) if limit is None else min(limit, len(classes))
+    for i in range(n):
         c = int(classes[i])
         inter_acc[c] += float(inter[i, 1])
         union_acc[c] += float(union[i, 1])
+
+
+def exact_batch_sizes(test_num: int, e_batch: int):
+    """Per-batch valid-episode counts so exactly ``test_num`` episodes score.
+
+    The reference runs exact counts (its batch_size_val divides test_num,
+    src/test.py:138); with a vmapped episode batch the last program invocation
+    is padded by the infinite loader stream and the overflow masked here.
+    """
+    sizes = [e_batch] * (max(test_num, 1) // e_batch)
+    rem = max(test_num, 1) - sum(sizes)
+    if rem:
+        sizes.append(rem)
+    return sizes
 
 
 def fg_miou(inter_acc: Dict[int, float], union_acc: Dict[int, float]) -> float:
@@ -64,7 +84,7 @@ def validate_transformer(
     test_num = cfg.test_num
     e_local = loader.batch_size                       # per-process episodes
     e_batch = e_local * jax.process_count()           # global episodes/step
-    nb_batches = max(1, test_num // e_batch)
+    batch_sizes = exact_batch_sizes(test_num, e_batch)
     base_key = jax.random.PRNGKey(cfg.manual_seed if cfg.manual_seed is not None else 0)
 
     run_mious = np.zeros(cfg.n_runs)
@@ -87,7 +107,7 @@ def validate_transformer(
         t_run = 0.0
         seen = 0
 
-        for b in range(nb_batches):
+        for b, valid_n in enumerate(batch_sizes):
             batch = next(stream)
             episodes = _episode_fields(batch)
             if mesh is not None:
@@ -105,12 +125,13 @@ def validate_transformer(
             out = engine.eval_metrics_batch(vars_b, vars_t, episodes, rngs)
             out = to_host(out)  # forces completion; allgathers on >1 process
             t_run += time.time() - t0
-            seen += e_batch
+            seen += valid_n
 
             # foreground channel only; background never enters the score
-            accumulate_fg_iou(cls_inter, cls_union, out)
-            accumulate_fg_iou(cls_inter0, cls_union0, out, suffix="0")
-            loss_meter.update(float(out["loss"].mean()), n=e_batch)
+            accumulate_fg_iou(cls_inter, cls_union, out, limit=valid_n)
+            accumulate_fg_iou(cls_inter0, cls_union0, out, suffix="0",
+                              limit=valid_n)
+            loss_meter.update(float(out["loss"][:valid_n].mean()), n=valid_n)
 
             if seen % max(e_batch, 200 // e_batch * e_batch) == 0:
                 iou = {c: cls_inter[c] / (cls_union[c] + 1e-10) for c in cls_union}
@@ -155,7 +176,7 @@ def episodic_validate(
     test_num = cfg.test_num
     e_local = loader.batch_size
     e_batch = e_local * jax.process_count()
-    nb_batches = max(1, test_num // e_batch)
+    batch_sizes = exact_batch_sizes(test_num, e_batch)
     base_key = jax.random.PRNGKey(cfg.manual_seed if cfg.manual_seed is not None else 0)
 
     run_mious = np.zeros(cfg.n_runs)
@@ -165,7 +186,7 @@ def episodic_validate(
         cls_union: Dict[int, float] = defaultdict(float)
         loss_meter = AverageMeter()
         stream = infinite(loader)
-        for b in range(nb_batches):
+        for b, valid_n in enumerate(batch_sizes):
             batch = next(stream)
             episodes = _episode_fields(batch)
             if mesh is not None:
@@ -179,9 +200,10 @@ def episodic_validate(
             if mesh is not None:
                 rngs = shard_batch(np.asarray(rngs), mesh)
             out = to_host(engine.eval_metrics_batch_no_cwt(vars_b, episodes, rngs))
-            accumulate_fg_iou(cls_inter, cls_union, out, suffix="0")
+            accumulate_fg_iou(cls_inter, cls_union, out, suffix="0",
+                              limit=valid_n)
             # score the raw adapted classifier: its own CE, not the dummy CWT's
-            loss_meter.update(float(out["loss0"].mean()), n=e_batch)
+            loss_meter.update(float(out["loss0"][:valid_n].mean()), n=valid_n)
         run_mious[run] = fg_miou(cls_inter, cls_union)
         run_losses[run] = loss_meter.avg
         log(f"episodic_validate run {run}: mIoU {run_mious[run]:.4f}")

@@ -138,10 +138,12 @@ def init_backbone(cfg, engine, rng: Optional[jax.Array] = None,
     variables = jax.tree.map(np.asarray, variables)  # host-side, mutable copy
 
     if cfg.resume_weights:
+        # wt_file=1 resumes the secondary best checkpoint (src/train_aug.py:60-63)
+        leaf = "best1.pth" if cfg.get("wt_file", 0) == 1 else "best.pth"
         fname = os.path.join(
             cfg.resume_weights, cfg.train_name,
             f"split={cfg.train_split}",
-            f"pspnet_{cfg.arch}{cfg.layers}", "best.pth",
+            f"pspnet_{cfg.arch}{cfg.layers}", leaf,
         )
         if os.path.isfile(fname):
             print(f"=> loading weight '{fname}'")

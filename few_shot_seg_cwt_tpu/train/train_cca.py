@@ -19,7 +19,7 @@ import numpy as np
 
 from ..config import parse_args
 from ..data.loader import infinite
-from ..eval.validate import accumulate_fg_iou, fg_miou
+from ..eval.validate import accumulate_fg_iou, exact_batch_sizes, fg_miou
 from ..episodic.cca import CCAEngine, adaptive_relabel_batch, make_base_preds_fn
 from ..parallel.mesh import shard_batch, to_host
 from ..utils.ckpt import save_ckpt
@@ -109,8 +109,8 @@ def main(cfg, adaptive: bool = False) -> float:
         stream = infinite(val_loader)
         e_local = val_loader.batch_size
         e_global = e_local * jax.process_count()
-        nb = max(1, cfg.test_num // e_global)
-        for b in range(nb):
+        batch_sizes = exact_batch_sizes(cfg.test_num, e_global)
+        for b, valid_n in enumerate(batch_sizes):
             vb = next(stream)
             episodes = {k: np.asarray(vb[k]) for k in EP_KEYS}
             if adaptive:
@@ -128,7 +128,7 @@ def main(cfg, adaptive: bool = False) -> float:
                 rngs = shard_batch(np.asarray(rngs), mesh)
             out = to_host(engine.eval_metrics_batch(
                 trainables, vars_b, episodes, rngs, None))
-            accumulate_fg_iou(acc_i, acc_u, out, suffix="1")
+            accumulate_fg_iou(acc_i, acc_u, out, suffix="1", limit=valid_n)
         miou = fg_miou(acc_i, acc_u)
         print(f"val: mIoU {miou:.4f}")
         if miou > best:

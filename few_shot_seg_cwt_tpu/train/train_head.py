@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import parse_args
 from ..data.loader import infinite
-from ..eval.validate import accumulate_fg_iou, fg_miou
+from ..eval.validate import accumulate_fg_iou, exact_batch_sizes, fg_miou
 from ..episodic.heads import HeadEngine
 from ..parallel.mesh import shard_batch, to_host
 from ..utils.ckpt import save_ckpt
@@ -118,12 +118,12 @@ def validate_head(cfg, engine: HeadEngine, trainables, vars_b, loader,
     """Per-class FG-IoU eval for both the blended and attention predictions."""
     e_local = loader.batch_size                       # per-process episodes
     e_batch = e_local * jax.process_count()           # global episodes/step
-    nb = max(1, cfg.test_num // e_batch)
+    batch_sizes = exact_batch_sizes(cfg.test_num, e_batch)
     key = jax.random.PRNGKey(cfg.manual_seed or 0)
     acc = {k: defaultdict(float) for k in ("i", "u", "i1", "u1")}
     loss_meter = AverageMeter()
     stream = infinite(loader)
-    for b in range(nb):
+    for b, valid_n in enumerate(batch_sizes):
         batch = next(stream)
         episodes = {k: batch[k] for k in EP_KEYS}
         if mesh is not None:
@@ -135,9 +135,9 @@ def validate_head(cfg, engine: HeadEngine, trainables, vars_b, loader,
             rngs = shard_batch(np.asarray(rngs), mesh)
         out = to_host(engine.eval_metrics_batch(
             trainables, vars_b, episodes, rngs, frozen_vars))
-        accumulate_fg_iou(acc["i"], acc["u"], out)
-        accumulate_fg_iou(acc["i1"], acc["u1"], out, suffix="1")
-        loss_meter.update(float(out["loss"].mean()), n=e_batch)
+        accumulate_fg_iou(acc["i"], acc["u"], out, limit=valid_n)
+        accumulate_fg_iou(acc["i1"], acc["u1"], out, suffix="1", limit=valid_n)
+        loss_meter.update(float(out["loss"][:valid_n].mean()), n=valid_n)
     miou = fg_miou(acc["i"], acc["u"])
     miou1 = fg_miou(acc["i1"], acc["u1"])
     log(f"val: mIoU {miou:.4f} mIoU1 {miou1:.4f} loss {loss_meter.avg:.4f}")

@@ -49,3 +49,94 @@ def test_attribute_roundtrip():
     assert cfg["new_field"] == 7
     with pytest.raises(AttributeError):
         _ = cfg.not_there
+
+
+# ---------------------------------------------------------------------------
+# Shipped config inventory: every reference config_files/*.yaml has a port
+# (reference has 17; synthetic_smoke is repo-only), each loads cleanly, and
+# the published variant hyperparameters survive the flatten.
+# ---------------------------------------------------------------------------
+
+import os
+
+_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+_REFERENCE_CONFIGS = [
+    "coco", "coco2pascal", "coco_aug", "coco_cca", "coco_mmn", "coco_pretrain",
+    "pascal", "pascal2coco", "pascal_asy", "pascal_aug", "pascal_cca",
+    "pascal_ddp", "pascal_fuse", "pascal_match", "pascal_mmn",
+    "pascal_pretrain", "pascal_trans",
+]
+
+
+@pytest.mark.parametrize("name", _REFERENCE_CONFIGS)
+def test_reference_config_ported_and_loads(name):
+    path = os.path.join(_CONFIG_DIR, f"{name}.yaml")
+    assert os.path.isfile(path), f"missing port of reference config {name}.yaml"
+    cfg = load_cfg(path)
+    # every key a config sets must be a knob the framework understands
+    unknown = set(cfg) - set(default_cfg())
+    assert not unknown, f"{name}.yaml sets unknown keys: {sorted(unknown)}"
+
+
+def _load(name):
+    return load_cfg(os.path.join(_CONFIG_DIR, f"{name}.yaml"))
+
+
+def test_variant_hyperparameters_survive():
+    # published per-variant knobs (reference config_files/*, VERDICT r2 item 2)
+    mmn = _load("coco_mmn")
+    assert (mmn.att_wt, mmn.rmid, mmn.wa, mmn.shot) == (0.3, "l34", True, 5)
+    assert mmn.use_split_coco and mmn.num_classes_val == 20
+    assert (mmn.cls_lr, mmn.trans_lr, mmn.epochs) == (0.05, 0.0005, 3)
+
+    aug = _load("pascal_aug")
+    assert (aug.att_type, aug.aug_type, aug.meta_aug) == (3, 0, 1)
+    assert aug.aug_th == [0.12, 0.25]
+    assert aug.wt_file == 1 and aug.padding == "avg"
+    assert (aug.scale_min, aug.scale_max) == (0.33, 3.0)
+
+    ddp = _load("pascal_ddp")
+    assert (ddp.att_wt, ddp.wa, ddp.cls_type) == (0.2, False, "rooo")
+    assert ddp.batch_size == 2 and ddp.gpus == [0, 1]
+
+    fuse = _load("pascal_fuse")
+    assert (fuse.rmid, fuse.att_wt, fuse.crm_type) == ("mid4", 0.4, "nc")
+    assert fuse.dist == "cosN" and fuse.cls_type == "ooo"
+    assert fuse.get("matchnet_ckpt") is None
+
+    match = _load("pascal_match")
+    assert (match.rmid, match.att_wt, match.cyc, match.sce) == ("mid4", 0.2, True, False)
+
+    asy = _load("pascal_asy")
+    assert (asy.temp, asy.rmid, asy.dist) == (40.0, "nr", "cosN")
+    assert (asy.cls_lr, asy.trans_lr) == (0.0025, 0.0001)
+
+    cca = _load("coco_cca")
+    assert cca.num_classes_tr == 61 and cca.inherit_base
+    assert cca.load_bg is False and cca.tp == 1.0
+
+    caug = _load("coco_aug")
+    assert (caug.att_type, caug.meta_aug, caug.aug_th) == (2, 1, [0.2, 0.2])
+    assert caug.shot == 5 and caug.use_split_coco
+
+
+def test_every_script_config_resolves():
+    """Every scripts/*.sh {pascal,coco} combination must find its yaml
+    (VERDICT r2: `train_ddp.sh coco` used to 404)."""
+    import re
+
+    script_dir = os.path.join(_CONFIG_DIR, "..", "scripts")
+    pat = re.compile(r"configs/\$\{DATA\}(\w*)\.yaml")
+    for sh in sorted(os.listdir(script_dir)):
+        if not sh.endswith(".sh"):
+            continue
+        text = open(os.path.join(script_dir, sh)).read()
+        has_fallback = "|| CFG=" in text
+        for suffix in pat.findall(text):
+            for data in ("pascal", "coco"):
+                path = os.path.join(_CONFIG_DIR, f"{data}{suffix}.yaml")
+                if not os.path.isfile(path):
+                    assert has_fallback, (
+                        f"{sh}: configs/{data}{suffix}.yaml missing and no fallback"
+                    )
