@@ -20,8 +20,10 @@ durable perf claim is the MFU field: XLA-cost-analysis FLOPs of the compiled
 program / measured time / chip peak (bf16 peak for the device kind).
 
 Env knobs: BENCH_MODE (eval|train, default eval), BENCH_EPISODE_BATCH
-(default 32), BENCH_BATCHES (default 8), BENCH_IMAGE_SIZE (default 473),
-BENCH_DTYPE (float32|bfloat16), BENCH_SHOT (default 1).
+(default 32), BENCH_BATCHES (default 24), BENCH_IMAGE_SIZE (default 473),
+BENCH_DTYPE (float32|bfloat16), BENCH_SHOT (default 1). The JSON also
+carries the per-batch-rate spread (p10/p50/p90) and timed-batch count so a
+stall-heavy run is visible in the record itself.
 """
 
 from __future__ import annotations
@@ -90,7 +92,11 @@ def main() -> None:
 
     mode = os.environ.get("BENCH_MODE", "eval")
     e_batch = int(os.environ.get("BENCH_EPISODE_BATCH", "32"))
-    n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
+    # 24 timed batches (~8s of device time at the protocol shape): with the
+    # transport's transient stalls, 8 batches left the reported median
+    # anywhere in a ±10% band — the r2 driver run (92.7) and the documented
+    # run (100.6) disagreed for exactly this reason (VERDICT r2 weak #1)
+    n_batches = int(os.environ.get("BENCH_BATCHES", "24"))
     size = int(os.environ.get("BENCH_IMAGE_SIZE", "473"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     shot = int(os.environ.get("BENCH_SHOT", "1"))
@@ -216,6 +222,15 @@ def main() -> None:
     t_batch = float(np.median(batch_times))
     eps_per_sec = e_total / t_batch
     eps_per_sec_chip = eps_per_sec / n_chips
+    # report the spread so one JSON line shows whether the run was stall-y:
+    # p10 of time -> fast tail (p90 of rate), p90 of time -> slow tail
+    bt = np.asarray(batch_times)
+    rate = lambda t: round(e_total / float(t) / n_chips, 3)
+    spread = {
+        "p90": rate(np.percentile(bt, 10)),
+        "p50": rate(np.percentile(bt, 50)),
+        "p10": rate(np.percentile(bt, 90)),
+    }
 
     peak = _device_peak(devices[0])
     # cost_analysis() reports PER-DEVICE flops of the SPMD-partitioned module,
@@ -233,6 +248,10 @@ def main() -> None:
         "mfu": round(mfu, 4),
         "flops_per_episode": flops_per_episode,
         "compile_s": round(compile_s, 1),
+        "eps_per_sec_chip_p10": spread["p10"],
+        "eps_per_sec_chip_p50": spread["p50"],
+        "eps_per_sec_chip_p90": spread["p90"],
+        "timed_batches": n_batches,
     }
     print(json.dumps(result))
 

@@ -167,6 +167,7 @@ _DEFAULTS: Dict[str, Any] = {
     "FB_param_noise": 0,
     "n_runs": 1,
     "save_oracle": False,
+    "replay": None,            # episode-log path: replay a recorded stream (parity runs)
     # ---- distributed / TPU ----
     "gpus": [0],               # kept for CLI compat; ignored on TPU
     "distributed": False,
@@ -176,6 +177,7 @@ _DEFAULTS: Dict[str, Any] = {
     "mesh_axes": ["data"],
     "episode_batch": 8,        # episodes vmapped per device step (eval)
     "compute_dtype": "float32",  # 'float32' | 'bfloat16'
+    "bf16_stages": None,       # mixed policy: 'all' or e.g. 'stem,layer1,layer2'
     "profile_dir": None,       # jax.profiler trace output directory
     "resume_ckpt": None,       # orbax checkpoint to resume trainables from
     "param_dtype": "float32",

@@ -145,15 +145,20 @@ class RandScale:
             # clamp the paste: the reference avoids overflow only because its
             # meta-aug paths hardcode 473 (get_aug_data*, dataset.py:338);
             # generalizing fixed_size to image_size (e.g. 321) means a scaled
-            # long side can exceed the canvas — crop instead of crashing
+            # long side can exceed the canvas — crop instead of crashing.
+            # CENTER the crop window (not top-left) so foreground is never
+            # systematically lost from the bottom/right; centering draws no
+            # RNG, keeping the stream aligned with the reference's draws
             nh, nw = min(image.shape[0], self.fixed_size), min(image.shape[1], self.fixed_size)
+            oh = (image.shape[0] - nh) // 2
+            ow = (image.shape[1] - nw) // 2
             canvas = np.zeros((self.fixed_size, self.fixed_size, 3), np.float32)
             if self.padding is not None:
                 canvas[:] = np.asarray(self.padding, np.float32)
-            canvas[:nh, :nw] = image[:nh, :nw]
+            canvas[:nh, :nw] = image[oh:oh + nh, ow:ow + nw]
             image = canvas
             lbl_canvas = np.full((self.fixed_size, self.fixed_size), 255.0, np.float32)
-            lbl_canvas[:nh, :nw] = label[:nh, :nw]
+            lbl_canvas[:nh, :nw] = label[oh:oh + nh, ow:ow + nw]
             label = lbl_canvas
         return image, label
 

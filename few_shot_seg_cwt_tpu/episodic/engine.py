@@ -40,7 +40,8 @@ import jax.numpy as jnp
 import optax
 
 from ..models.cwt import build_cwt
-from ..models.pspnet import apply_classifier, build_pspnet, init_classifier_weights
+from ..models.pspnet import (apply_classifier, build_pspnet,
+                             init_classifier_weights, stage_dtype_policy)
 from ..ops.losses import class_balance_weights, weighted_cross_entropy
 from ..ops.metrics import intersection_and_union
 from ..ops.resize import upsample_bilinear_ac
@@ -66,17 +67,48 @@ class EpisodicEngine:
         self.bottleneck_dim = cfg.bottleneck_dim
         # bf16 backbone compute (the FLOP-dominant stage); episodic math
         # (inner loop, CWT, losses, metrics) stays f32 for mIoU parity.
-        self.compute_dtype = (
-            jnp.bfloat16 if str(cfg.get("compute_dtype", "float32")) == "bfloat16"
-            or cfg.get("use_amp", False) else jnp.float32
-        )
+        # stage_policy additionally supports MIXED per-stage dtypes
+        # (cfg.bf16_stages) so the precision cost can be localized.
+        self.stage_policy = stage_dtype_policy(cfg)
+        dts = set(self.stage_policy.values())
+        self.compute_dtype = jnp.bfloat16 if dts == {jnp.bfloat16} else jnp.float32
+        self._mixed_policy = len(dts) > 1
 
     def _cast_backbone_inputs(self, vars_b, imgs):
+        if self._mixed_policy:
+            return self._cast_mixed(vars_b, imgs)
         if self.compute_dtype == jnp.float32:
             return vars_b, imgs
         cast = lambda x: x.astype(self.compute_dtype) if jnp.issubdtype(
             jnp.asarray(x).dtype, jnp.floating) else x
         return jax.tree.map(cast, vars_b), imgs.astype(self.compute_dtype)
+
+    def _cast_mixed(self, vars_b, imgs):
+        """Per-stage param/stat casts; the model casts activations at the
+        matching stage boundaries (models/resnet.py, models/pspnet.py)."""
+        pol = self.stage_policy
+
+        def path_stage(path):
+            keys = [getattr(p, "key", None) for p in path]
+            if "trunk" in keys:
+                nxt = keys[keys.index("trunk") + 1]
+                return ("layer" + nxt[5] if str(nxt).startswith("layer")
+                        else "stem")
+            if "ppm" in keys:
+                return "ppm"
+            if any(str(k).startswith("bottleneck") for k in keys):
+                return "bottleneck"
+            return None  # classifier/gamma: untouched (episodic math is f32)
+
+        def cast(path, x):
+            st = path_stage(path)
+            x = jnp.asarray(x)
+            if st is None or not jnp.issubdtype(x.dtype, jnp.floating):
+                return x
+            return x.astype(pol[st])
+
+        return (jax.tree_util.tree_map_with_path(cast, vars_b),
+                imgs.astype(pol["stem"]))
 
     # ------------------------------------------------------------------ #
     # single-episode programs

@@ -37,7 +37,10 @@ import numpy as np
 
 def run_ab(cfg, n_episodes: int, e_batch: int,
            pth: Optional[str] = None, trans_pth: Optional[str] = None,
-           log=print) -> Dict[str, float]:
+           stages: Optional[str] = None, log=print) -> Dict[str, float]:
+    """A/B fp32 vs bf16. ``stages`` switches the B side from the whole-backbone
+    bf16 cast to the mixed per-stage policy (cfg.bf16_stages), localizing the
+    precision cost per stage."""
     import jax
     import jax.numpy as jnp
 
@@ -47,12 +50,20 @@ def run_ab(cfg, n_episodes: int, e_batch: int,
     from ..utils.ckpt import import_cwt, import_pspnet, load_torch_checkpoint
     from .validate import accumulate_fg_iou, fg_miou
 
-    cfg32 = type(cfg)({**cfg, "compute_dtype": "float32", "use_amp": False})
-    cfg_bf = type(cfg)({**cfg, "compute_dtype": "bfloat16"})
+    cfg32 = type(cfg)({**cfg, "compute_dtype": "float32", "use_amp": False,
+                       "bf16_stages": None})
     engine32 = EpisodicEngine(cfg32)
-    # share module objects so one variable tree drives both engines
-    engine_bf = EpisodicEngine(cfg_bf, backbone=engine32.backbone,
-                               cwt=engine32.cwt)
+    if stages:
+        # mixed policy: the B backbone needs its own stage-cast module attrs;
+        # the parameter tree structure is identical, so one tree drives both
+        cfg_bf = type(cfg)({**cfg, "compute_dtype": "float32",
+                            "use_amp": False, "bf16_stages": stages})
+        engine_bf = EpisodicEngine(cfg_bf, cwt=engine32.cwt)
+    else:
+        cfg_bf = type(cfg)({**cfg, "compute_dtype": "bfloat16"})
+        # share module objects so one variable tree drives both engines
+        engine_bf = EpisodicEngine(cfg_bf, backbone=engine32.backbone,
+                                   cwt=engine32.cwt)
 
     vars_b = init_backbone(
         type(cfg)({**cfg, "resume_weights": None}), engine32
@@ -120,6 +131,7 @@ def run_ab(cfg, n_episodes: int, e_batch: int,
         "weights": "imported .pth" if pth else "random init",
         "shot": cfg.shot,
         "image_size": cfg.image_size,
+        "bf16_stages": stages or "all (whole-backbone cast)",
     }
 
 
@@ -133,6 +145,12 @@ def main(argv=None) -> Dict[str, float]:
     ap.add_argument("--shot", type=int, default=1)
     ap.add_argument("--pth", default=None, help="stage-1 PSPNet .pth")
     ap.add_argument("--trans-pth", default=None, help="CWT transformer .pth")
+    ap.add_argument("--stages", default=None,
+                    help="comma list of backbone stages to run in bf16 "
+                         "(mixed policy) instead of the whole-backbone cast")
+    ap.add_argument("--sweep", action="store_true",
+                    help="ablate each backbone stage individually (one A/B "
+                         "per stage) and print one JSON line per stage")
     ns = ap.parse_args(argv)
 
     cfg = default_cfg()
@@ -140,9 +158,21 @@ def main(argv=None) -> Dict[str, float]:
     cfg.shot = ns.shot
     cfg.pretrained = False
 
+    err = lambda *a: print(*a, file=sys.stderr)
+    if ns.sweep:
+        from ..models.pspnet import BACKBONE_STAGES
+
+        results = {}
+        for stage in BACKBONE_STAGES:
+            r = run_ab(cfg, ns.episodes, ns.batch, pth=ns.pth,
+                       trans_pth=ns.trans_pth, stages=stage, log=err)
+            results[stage] = r
+            print(json.dumps(r))
+        return results
+
     result = run_ab(cfg, ns.episodes, ns.batch,
                     pth=ns.pth, trans_pth=ns.trans_pth,
-                    log=lambda *a: print(*a, file=sys.stderr))
+                    stages=ns.stages, log=err)
     print(json.dumps(result))
     return result
 

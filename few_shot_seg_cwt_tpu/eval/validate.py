@@ -91,6 +91,18 @@ def validate_transformer(
     run_losses = np.zeros(cfg.n_runs)
     runtimes = np.zeros(cfg.n_runs)
 
+    # replay mode: the recorded stream is one continuous walk across runs
+    # (the reference's loader iterator persists between runs,
+    # src/test.py:150-153) — run R must start at episode R*test_num exactly,
+    # so the batch size must not consume filler episodes across the boundary
+    replaying = bool(cfg.get("replay"))
+    if replaying:
+        assert test_num % e_batch == 0, (
+            f"replay: episode_batch {e_batch} must divide test_num {test_num} "
+            "so run boundaries match the recorded stream (use e.g. 8, 20, 40)"
+        )
+    persistent_stream = infinite(loader) if replaying else None
+
     profile_dir = cfg.get("profile_dir")
     if profile_dir:
         from jax import profiler as _profiler
@@ -103,7 +115,7 @@ def validate_transformer(
         cls_inter0: Dict[int, float] = defaultdict(float)
         cls_union0: Dict[int, float] = defaultdict(float)
         loss_meter = AverageMeter()
-        stream = infinite(loader)
+        stream = persistent_stream if replaying else infinite(loader)
         t_run = 0.0
         seen = 0
 

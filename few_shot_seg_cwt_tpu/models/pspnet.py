@@ -31,6 +31,47 @@ from .vgg import VGG16BN
 # torch nn.Conv2d default (kaiming_uniform a=sqrt(5)): U(+-1/sqrt(fan_in))
 conv1x1_default_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
+# backbone stages addressable by the per-stage dtype policy
+BACKBONE_STAGES = ("stem", "layer1", "layer2", "layer3", "layer4",
+                   "ppm", "bottleneck")
+
+
+def stage_dtype_policy(cfg) -> Dict[str, Any]:
+    """Per-stage backbone compute dtype {stage: jnp dtype}.
+
+    ``compute_dtype bfloat16`` (or the reference's ``use_amp``) runs EVERY
+    stage in bf16 — the whole-backbone cast. With fp32 compute, the
+    ``bf16_stages`` knob ("all" or a comma list of BACKBONE_STAGES, e.g.
+    "stem,layer1,layer2") promotes only the listed stages to bf16 so the
+    accuracy cost can be localized per stage (the r2 whole-backbone A/B
+    could not say WHERE precision matters).
+    """
+    full_bf16 = (
+        str(cfg.get("compute_dtype", "float32")) == "bfloat16"
+        or cfg.get("use_amp", False)
+    )
+    if full_bf16:
+        return {s: jnp.bfloat16 for s in BACKBONE_STAGES}
+    sel = cfg.get("bf16_stages", None)
+    if not sel:
+        return {s: jnp.float32 for s in BACKBONE_STAGES}
+    chosen = (set(BACKBONE_STAGES) if str(sel) == "all"
+              else {s.strip() for s in str(sel).split(",") if s.strip()})
+    unknown = chosen - set(BACKBONE_STAGES)
+    assert not unknown, f"bf16_stages: unknown stages {sorted(unknown)}"
+    assert cfg.get("arch", "resnet") == "resnet", (
+        "per-stage bf16 policy is defined for the resnet trunk only"
+    )
+    return {s: (jnp.bfloat16 if s in chosen else jnp.float32)
+            for s in BACKBONE_STAGES}
+
+
+def _policy_tuple(policy: Dict[str, Any]):
+    """Hashable form for module attrs; None when the policy is uniform f32."""
+    if all(dt == jnp.float32 for dt in policy.values()):
+        return None
+    return tuple((s, jnp.dtype(policy[s]).name) for s in BACKBONE_STAGES)
+
 
 def init_classifier_weights(rng: jax.Array, num_classes: int, in_dim: int,
                             dtype=jnp.float32) -> jnp.ndarray:
@@ -75,7 +116,11 @@ class PPM(nn.Module):
 def parse_cls_type(cls_type: str) -> Tuple[bool, bool, bool, bool]:
     """4-char flags: weight-norm-reparam, fwd weight-normalize, bias, learnable temp."""
     lut = {"r": True, "n": True, "b": True, "t": True, "0": False, "o": False}
-    return tuple(lut[c] for c in cls_type)  # type: ignore[return-value]
+    # published configs ship 3-char 'ooo' (pascal_{asy,fuse,match}.yaml) which
+    # IndexErrors the reference's own parser (src/model/pspnet.py:322,
+    # cls_type[3]); pad with 'o' (= all-off) instead of reproducing the crash
+    ct = (cls_type + "oooo")[:4]
+    return tuple(lut[c] for c in ct)  # type: ignore[return-value]
 
 
 class CosCls(nn.Module):
@@ -162,11 +207,21 @@ class PSPNet(nn.Module):
     inherit_base: bool = False
     zoom_factor: int = 8
     axis_name: Optional[str] = None
+    # per-stage compute dtypes as a hashable tuple ((stage, dtype-name), ...)
+    # from stage_dtype_policy; None = no activation casts (uniform fp32, or
+    # the engine-level whole-tree bf16 cast which needs no stage boundaries)
+    stage_dtypes: Optional[Tuple[Tuple[str, str], ...]] = None
+
+    def _stage_cast(self, x: jnp.ndarray, stage: str) -> jnp.ndarray:
+        if self.stage_dtypes is None:
+            return x
+        return x.astype(jnp.dtype(dict(self.stage_dtypes)[stage]))
 
     def setup(self):
         if self.arch == "resnet":
             self.trunk = DilatedResNet(
-                depth=self.layers, no_relu=(self.rmid == "nr"), axis_name=self.axis_name
+                depth=self.layers, no_relu=(self.rmid == "nr"), axis_name=self.axis_name,
+                stage_dtypes=self.stage_dtypes,
             )
             fea_dim = 2048
         elif self.arch == "vgg":
@@ -208,8 +263,8 @@ class PSPNet(nn.Module):
     ) -> Tuple[jnp.ndarray, Dict[Any, Any]]:
         """Backbone + PPM + bottleneck. x: (B, H, W, 3) -> (B, h, w, 512), feats."""
         x4, feats = self.trunk(x, train=train)
-        out = self.ppm(x4, train=train)
-        out = self.bottleneck_conv(out)
+        out = self.ppm(self._stage_cast(x4, "ppm"), train=train)
+        out = self.bottleneck_conv(self._stage_cast(out, "bottleneck"))
         out = self.bottleneck_bn(out, use_running_average=not train)
         out = nn.relu(out)
         out = self.drop(out, deterministic=not train)
@@ -241,6 +296,11 @@ class PSPNet(nn.Module):
 
 def build_pspnet(cfg, axis_name: Optional[str] = None) -> PSPNet:
     """Construct a PSPNet from a flat config (reference get_model, pspnet.py:15)."""
+    # stage-boundary activation casts only for a MIXED dtype policy; the
+    # uniform-bf16 path keeps the engine-level whole-tree cast (no boundaries)
+    policy = stage_dtype_policy(cfg)
+    dts = set(policy.values())
+    stage_dtypes = _policy_tuple(policy) if len(dts) > 1 else None
     return PSPNet(
         arch=cfg.arch,
         layers=cfg.layers,
@@ -253,4 +313,5 @@ def build_pspnet(cfg, axis_name: Optional[str] = None) -> PSPNet:
         rmid=cfg.get("rmid", None),
         inherit_base=cfg.get("inherit_base", False),
         axis_name=axis_name,
+        stage_dtypes=stage_dtypes,
     )

@@ -118,10 +118,19 @@ class DilatedResNet(nn.Module):
     depth: int = 50
     no_relu: bool = False
     axis_name: Optional[str] = None
+    # mixed per-stage dtype policy ((stage, dtype-name), ...); None = no casts
+    # (uniform policies are handled by whole-tree casts at the engine level)
+    stage_dtypes: Optional[Tuple[Tuple[str, str], ...]] = None
+
+    def _stage_cast(self, x: jnp.ndarray, stage: str) -> jnp.ndarray:
+        if self.stage_dtypes is None:
+            return x
+        return x.astype(jnp.dtype(dict(self.stage_dtypes)[stage]))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         # deep stem: 3x3 s2 -> 3x3 -> 3x3, 3->64->64->128
+        x = self._stage_cast(x, "stem")
         x = nn.relu(batch_norm(train, "bn1", self.axis_name)(conv(64, 3, 2, name="conv1")(x)))
         x = nn.relu(batch_norm(train, "bn2", self.axis_name)(conv(64, 3, name="conv2")(x)))
         x = nn.relu(batch_norm(train, "bn3", self.axis_name)(conv(128, 3, name="conv3")(x)))
@@ -134,6 +143,7 @@ class DilatedResNet(nn.Module):
         for stage_idx, ((planes, stride, dilation), n_blocks) in enumerate(
             zip(stage_spec, blocks), start=1
         ):
+            x = self._stage_cast(x, f"layer{stage_idx}")
             outs: List[jnp.ndarray] = []
             for b in range(n_blocks):
                 is_last = self.no_relu and stage_idx == 4 and b == n_blocks - 1

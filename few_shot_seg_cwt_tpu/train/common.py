@@ -70,6 +70,11 @@ def maybe_mesh(cfg):
 
 
 def episodic_dataset(cfg, train: bool):
+    if not train and cfg.get("replay"):
+        # replay a recorded reference episode stream (tools/record_episodes)
+        from ..data.replay import ReplayEpisodicDataset
+
+        return ReplayEpisodicDataset(cfg, str(cfg.replay))
     if cfg.get("synthetic_data"):
         n = cfg.iter_per_epoch if train else cfg.test_num
         return SyntheticEpisodicDataset(cfg, length=max(n, 64),

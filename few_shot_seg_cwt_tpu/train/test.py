@@ -10,6 +10,11 @@ transformer weights from ``<model_dir schema>/<ckpt_used>.ckpt`` (orbax) or a
 reference ``.pth`` via the importer. Without any checkpoint it evaluates a
 random-init transformer (plumbing mode), like the reference's
 "Not loading anything" branch (src/test.py:91).
+
+Parity runs: ``--opts replay <episodes.jsonl>`` evaluates a recorded
+reference episode stream (tools/record_episodes) instead of sampling — both
+frameworks then score the byte-identical episode composition. Single-process;
+episode_batch must divide test_num so run boundaries match the log.
 """
 
 from __future__ import annotations

@@ -268,3 +268,86 @@ def test_loader_rank_world_striding():
                                num_workers=0, seed=3, rank=rank, world=2)
         perms.append([int(v) for b in loader for v in b["i"]])
     assert not (set(perms[0]) & set(perms[1]))
+
+
+# --------------------------------------------------------------------------- #
+# COCO-shaped end-to-end smoke (VERDICT r2 item 7): list format, interleaved
+# fold-0 classes, episodic sampling, and one eval batch
+# --------------------------------------------------------------------------- #
+
+@pytest.fixture(scope="module")
+def mini_coco(tmp_path_factory):
+    """10-image tree in the lists/coco/val.txt layout (val2014/... val/...)."""
+    root = tmp_path_factory.mktemp("coco")
+    (root / "val2014").mkdir()
+    (root / "val").mkdir()
+    rng = np.random.default_rng(11)
+    # fold-0 interleave (use_split_coco): val classes 1,5,9,...,77
+    classes = [1, 5, 9, 13, 77]
+    lines = []
+    for i, cls in enumerate(classes * 2):
+        stem = f"COCO_val2014_{i:012d}"
+        img = rng.integers(0, 255, size=(80, 120, 3)).astype(np.uint8)
+        lab = np.zeros((80, 120), np.uint8)
+        lab[5:70, 5:70] = cls
+        cv2.imwrite(str(root / "val2014" / f"{stem}.jpg"), img)
+        cv2.imwrite(str(root / "val" / f"{stem}.png"), lab)
+        lines.append(f"val2014/{stem}.jpg val/{stem}.png\n")
+    lst = root / "val.txt"
+    lst.write_text("".join(lines))
+    return root, lst, classes
+
+
+def test_coco_interleaved_episodic_end_to_end(mini_coco):
+    root, lst, classes = mini_coco
+    cfg = default_cfg()
+    cfg.train_name = "coco"
+    cfg.use_split_coco = True
+    cfg.num_classes_val = 20
+    cfg.train_split = 0
+    cfg.data_root = str(root)
+    cfg.train_list = str(lst)
+    cfg.val_list = str(lst)
+    cfg.image_size = 65
+    cfg.workers = 0
+    cfg.scan_cache = None
+
+    from few_shot_seg_cwt_tpu.data.classes import resolve_val_classes
+
+    val_classes = resolve_val_classes(cfg)
+    # interleaved fold 0: 1, 5, 9, ..., 77 (reference classes.py:135-142)
+    assert val_classes == list(range(1, 78, 4))
+    assert all(c in val_classes for c in classes)
+
+    ds = EpisodicDataset(cfg, train=False)
+    assert len(ds) == 10
+    ep = ds[0]
+    # the COCO path format parsed; class id reported as fold-local rank+1
+    assert 1 <= int(ep["cls"]) <= 20
+    assert set(np.unique(ep["s_label"])) <= {0, 1, 255}
+    assert (ep["s_label"] == 1).sum() > 0
+
+    # one eval batch through the episodic engine (coco val classes end to end)
+    import jax
+    import jax.numpy as jnp
+
+    from few_shot_seg_cwt_tpu.data.loader import EpisodeLoader
+    from few_shot_seg_cwt_tpu.episodic.engine import EpisodicEngine
+
+    cfg.adapt_iter = 2
+    engine = EpisodicEngine(cfg)
+    probe = jnp.zeros((1, 65, 65, 3), jnp.float32)
+    vars_b = engine.backbone.init({"params": jax.random.PRNGKey(0)}, probe,
+                                  train=False)
+    d = cfg.bottleneck_dim
+    f = jnp.zeros((1, 9, 9, d), jnp.float32)
+    vars_t = engine.cwt.init(jax.random.PRNGKey(1), jnp.zeros((1, 2, d)), f, f)
+    loader = EpisodeLoader(ds, batch_size=2, shuffle=False, num_workers=0)
+    batch = next(iter(loader))
+    episodes = {k: batch[k] for k in ("s_img", "s_label", "q_img", "q_label", "cls")}
+    rngs = jax.random.split(jax.random.PRNGKey(2), 2)
+    out = jax.tree.map(np.asarray,
+                       engine.eval_metrics_batch(vars_b, vars_t, episodes, rngs))
+    assert out["inter"].shape == (2, 2) and np.isfinite(out["loss"]).all()
+    # the reported class ids land in the 20-way coco val range
+    assert all(1 <= c <= 20 for c in out["cls"])
