@@ -151,7 +151,10 @@ def main() -> None:
         opt_state = optimizer.init(trans_params)
         if mesh is not None:
             opt_state = replicate(opt_state, mesh)
-        train_step = engine.make_train_step(optimizer)
+        # BENCH_TRAIN_METRICS=0 times the loss-only step (no IoU tail) — the
+        # hot-loop variant the trainers run between log steps
+        with_metrics = os.environ.get("BENCH_TRAIN_METRICS", "1") != "0"
+        train_step = engine.make_train_step(optimizer, with_metrics=with_metrics)
         step_rngs = [jax.random.PRNGKey(100 + i) for i in range(n_batches + 1)]
 
         t_c = time.time()
@@ -178,7 +181,8 @@ def main() -> None:
             np.asarray(metrics["loss"])  # force completion of each step
             batch_times.append(time.time() - t0)
         metric_name = (f"train-step episodes/sec/chip ({shot}-shot @{size}px, "
-                       f"adapt_iter={cfg.adapt_iter}, {dtype})")
+                       f"adapt_iter={cfg.adapt_iter}, {dtype}"
+                       f"{'' if with_metrics else ', loss-only'})")
     else:
         rng_arrays = [
             jax.device_put(jax.random.split(jax.random.PRNGKey(100 + i), e_total))

@@ -175,8 +175,14 @@ class EpisodicEngine:
         pred_q = apply_classifier(w_upd, f_qn)[0]      # (h, w, K)
         return {"pred_q": pred_q, "pred_q0": pred_q0, "cls": episode["cls"]}
 
-    def train_episode_loss(self, trans_params, vars_t_extra, vars_b, episode, rng):
-        """Per-episode transformer loss (support dropout + attn dropout live)."""
+    def train_episode_loss(self, trans_params, vars_t_extra, vars_b, episode, rng,
+                           with_metrics: bool = True):
+        """Per-episode transformer loss (support dropout + attn dropout live).
+
+        ``with_metrics=False`` skips the IoU tail (the 473px argmax/IU passes
+        for both predictions plus the second upsample) — the train loops only
+        read metrics every 10th step, so the hot steps need loss+grads only.
+        """
         rng_drop_s, rng_w, rng_attn = jax.random.split(rng, 3)
         f_s, f_q = self._episode_features(
             vars_b, episode, support_dropout=True, rng=rng_drop_s
@@ -201,6 +207,9 @@ class EpisodicEngine:
         q_label = episode["q_label"]
         qw = class_balance_weights(q_label, num_classes=self.num_classes)
         loss = weighted_cross_entropy(logits, q_label, qw)
+
+        if not with_metrics:
+            return loss, {}
 
         # train metrics (fg/bg IoU of transformed and raw predictions)
         inter, union, _ = intersection_and_union(
@@ -285,13 +294,19 @@ class EpisodicEngine:
         fn = jax.vmap(self.eval_episode, in_axes=(None, None, 0, 0))
         return jax.jit(fn)
 
-    def make_train_step(self, optimizer: optax.GradientTransformation):
+    def make_train_step(self, optimizer: optax.GradientTransformation,
+                        with_metrics: bool = True):
         """Returns jitted (trans_params, opt_state, vars_t_extra, vars_b, batch, rng)
-        -> (new_params, new_opt_state, metrics)."""
+        -> (new_params, new_opt_state, metrics).
+
+        ``with_metrics=False`` compiles the loss-only step (no IoU tail);
+        metrics then carries just ``loss``."""
 
         def batched_loss(trans_params, vars_t_extra, vars_b, batch, rngs):
             losses, metrics = jax.vmap(
-                self.train_episode_loss, in_axes=(None, None, None, 0, 0)
+                functools.partial(self.train_episode_loss,
+                                  with_metrics=with_metrics),
+                in_axes=(None, None, None, 0, 0),
             )(trans_params, vars_t_extra, vars_b, batch, rngs)
             return jnp.mean(losses), metrics
 

@@ -72,7 +72,10 @@ def main(cfg) -> float:
     optimizer = build_optimizer(cfg, base_lr=cfg.trans_lr * cfg.scale_lr,
                                 use_schedule=False)
     opt_state = optimizer.init(trans_params)
-    train_step = engine.make_train_step(optimizer)
+    train_step = engine.make_train_step(optimizer)            # metrics step
+    # hot-loop step: loss-only (no 473px IoU tail); metrics are read every
+    # 10th iteration only, so 90% of steps skip that compute entirely
+    train_step_fast = engine.make_train_step(optimizer, with_metrics=False)
 
     train_loader, val_loader = episodic_loaders(cfg)
     save_dir = trans_ckpt_dir(cfg)
@@ -107,11 +110,13 @@ def main(cfg) -> float:
             if mesh is not None:
                 episodes = shard_batch(episodes, mesh)
             key, sub = jax.random.split(key)
-            trans_params, opt_state, metrics = train_step(
+            log_step = i % 10 == 0 or (epoch == 0 and i < 5)
+            step_fn = train_step if log_step else train_step_fast
+            trans_params, opt_state, metrics = step_fn(
                 trans_params, opt_state, vars_t_extra, vars_b, episodes, sub
             )
 
-            if i % 10 == 0 or (epoch == 0 and i < 5):
+            if log_step:
                 # sample every 10th step for the epoch averages (a per-step
                 # host sync would serialize dispatch over the device link);
                 # to_host allgathers episode-sharded metrics on multi-host

@@ -85,3 +85,25 @@ def test_aug_att_type_adaptive_smoke():
 
     cfg = _smoke_cfg(shot=2, meta_aug=2, att_type=3)
     assert np.isfinite(main(cfg))
+
+
+@pytest.mark.slow
+def test_train_cwt_smoke():
+    """The flagship stage-2 trainer end-to-end, exercising BOTH compiled
+    steps (loss-only hot step + metrics step at log iterations)."""
+    from few_shot_seg_cwt_tpu.train.train_cwt import main
+
+    cfg = _smoke_cfg()
+    miou = main(cfg)
+    assert np.isfinite(miou) and 0.0 <= miou <= 1.0
+
+
+@pytest.mark.slow
+def test_match_trainer_ignore_and_cyc_eval():
+    """pascal_match semantics: cyc mask + ignore re-readout live at eval only
+    (reference src/train_match.py:163,318-322)."""
+    from few_shot_seg_cwt_tpu.train.train_head import main
+
+    cfg = _smoke_cfg(cyc="True", ignore="True")
+    miou = main(cfg, head_type="match")
+    assert np.isfinite(miou)
