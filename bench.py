@@ -104,6 +104,8 @@ def main() -> None:
     cfg = default_cfg()
     cfg.image_size = size
     cfg.compute_dtype = dtype
+    # BENCH_BF16_STAGES: mixed per-stage policy (e.g. "stem,layer1,layer2")
+    cfg.bf16_stages = os.environ.get("BENCH_BF16_STAGES") or None
     cfg.shot = shot
     # time-decomposition knob: 0 isolates backbone+CWT cost (protocol is 200)
     cfg.adapt_iter = int(os.environ.get("BENCH_ADAPT_ITER", cfg.adapt_iter))
@@ -189,13 +191,16 @@ def main() -> None:
             for i in range(n_batches + 1)
         ]
 
-        # BENCH_EVAL_PROGRAM=metrics times the full metrics program (inner
-        # loop + CWT + 473px upsample + argmax + per-class I/U) instead of
-        # the logits-only eval_batch
+        # DEFAULT: the full protocol-metrics program (inner loop + CWT +
+        # 473px upsample + argmax + per-class I/U) — what validate_transformer
+        # actually runs, and only tiny (E,2) metric arrays leave the device.
+        # BENCH_EVAL_PROGRAM=logits times the logits-returning program
+        # instead; its (E,60,60,2)x2 outputs make it transport-sensitive
+        # (measured 91.5 vs 100.4 eps/s on a degraded tunnel, same compute).
         eval_fn = (
-            engine.eval_metrics_batch
-            if os.environ.get("BENCH_EVAL_PROGRAM") == "metrics"
-            else engine.eval_batch
+            engine.eval_batch
+            if os.environ.get("BENCH_EVAL_PROGRAM") == "logits"
+            else engine.eval_metrics_batch
         )
         t_c = time.time()
         lowered = eval_fn.lower(
@@ -217,8 +222,9 @@ def main() -> None:
             )
             np.asarray(out[sync_key]).ravel()[0]  # force completion of each step
             batch_times.append(time.time() - t0)
+        stage_tag = f", bf16:{cfg.bf16_stages}" if cfg.bf16_stages else ""
         metric_name = (f"episodes/sec/chip ({shot}-shot eval @{size}px, "
-                       f"adapt_iter={cfg.adapt_iter}, {dtype})")
+                       f"adapt_iter={cfg.adapt_iter}, {dtype}{stage_tag})")
 
     # median batch time: robust to the transport's transient multi-second
     # stalls (observed ~±10%+ run-to-run noise, occasionally 30% on short

@@ -81,6 +81,19 @@ def run_ab(cfg, n_episodes: int, e_batch: int,
     if trans_pth:
         log(f"=> A/B on imported CWT weights '{trans_pth}'")
 
+    # --replay: A/B on a recorded reference episode stream (real images)
+    # instead of synthetic episodes — the decision-grade comparison
+    replay_batches = None
+    if cfg.get("replay"):
+        from ..data.loader import EpisodeLoader
+        from ..data.replay import ReplayEpisodicDataset
+
+        ds = ReplayEpisodicDataset(cfg, str(cfg.replay))
+        loader = EpisodeLoader(ds, batch_size=e_batch, shuffle=False,
+                               num_workers=cfg.workers, drop_last=True)
+        replay_batches = iter(loader)
+        n_episodes = min(n_episodes, len(ds))
+
     n_batches = max(1, n_episodes // e_batch)
     base_key = jax.random.PRNGKey(cfg.manual_seed or 0)
 
@@ -91,9 +104,12 @@ def run_ab(cfg, n_episodes: int, e_batch: int,
     flips = 0
     pixels = 0
     for b in range(n_batches):
-        host = make_episode_batch(
-            seed=b + 1, e=e_batch, size=cfg.image_size, shot=cfg.shot
-        )
+        if replay_batches is not None:
+            host = next(replay_batches)
+        else:
+            host = make_episode_batch(
+                seed=b + 1, e=e_batch, size=cfg.image_size, shot=cfg.shot
+            )
         episodes = {
             k: jnp.asarray(host[k])
             for k in ("s_img", "s_label", "q_img", "q_label", "cls")
@@ -145,6 +161,9 @@ def main(argv=None) -> Dict[str, float]:
     ap.add_argument("--shot", type=int, default=1)
     ap.add_argument("--pth", default=None, help="stage-1 PSPNet .pth")
     ap.add_argument("--trans-pth", default=None, help="CWT transformer .pth")
+    ap.add_argument("--replay", default=None,
+                    help="recorded episode log (tools/record_episodes): run "
+                         "the A/B on real images instead of synthetic episodes")
     ap.add_argument("--stages", default=None,
                     help="comma list of backbone stages to run in bf16 "
                          "(mixed policy) instead of the whole-backbone cast")
@@ -157,6 +176,7 @@ def main(argv=None) -> Dict[str, float]:
     cfg.image_size = ns.image_size
     cfg.shot = ns.shot
     cfg.pretrained = False
+    cfg.replay = ns.replay
 
     err = lambda *a: print(*a, file=sys.stderr)
     if ns.sweep:

@@ -185,3 +185,23 @@ def test_committed_fixture_format():
         assert set(e) == {"q", "cls", "s"}
         assert len(e["q"]) == 2 and isinstance(e["cls"], int)
         assert all(len(pair) == 2 for pair in e["s"])
+
+
+def test_ab_dtype_on_replay_stream(voc_tree, tmp_path):
+    """--replay: the dtype A/B consumes the recorded stream (real images)."""
+    import json as _json
+
+    from few_shot_seg_cwt_tpu.eval.ab_dtype import run_ab
+    from few_shot_seg_cwt_tpu.tools.record_episodes import record
+
+    root, lst = voc_tree
+    cfg = _cfg(root, lst, adapt_iter=2)
+    episodes = record(cfg, ref_compat.REF, n_episodes=4)
+    log = tmp_path / "ep.jsonl"
+    log.write_text("".join(_json.dumps(e) + "\n" for e in episodes))
+    cfg.replay = str(log)
+    cfg.resume_weights = ""
+
+    r = run_ab(cfg, n_episodes=4, e_batch=2, log=lambda *a: None)
+    assert r["episodes"] == 4
+    assert np.isfinite(r["miou_fp32"]) and np.isfinite(r["miou_bf16"])
