@@ -146,7 +146,38 @@ def main() -> None:
             episodes = jax.device_put(episodes)
         episode_batches.append(episodes)
 
-    if mode == "train":
+    if mode == "backbone":
+        # decomposition probe: JUST the frozen feature extractor on the same
+        # image volume as an eval batch (2 images/episode) — isolates conv
+        # efficiency from the episodic machinery (inner loop/CWT/metrics)
+        imgs = jnp.concatenate(
+            [episode_batches[0]["s_img"].reshape(-1, size, size, 3),
+             episode_batches[0]["q_img"]], axis=0,
+        )
+        vars_c = vars_b
+        if dtype == "bfloat16":
+            cast = lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating) else x
+            vars_c = jax.tree.map(cast, vars_b)
+            imgs = imgs.astype(jnp.bfloat16)
+
+        fn = jax.jit(lambda v, im: engine.backbone.apply(
+            v, im, train=False, method=engine.backbone.extract_features,
+            mutable=False)[0].sum())
+        t_c = time.time()
+        compiled = fn.lower(vars_c, imgs).compile()
+        compile_s = time.time() - t_c
+        flops_total = _cost_flops(compiled)
+        np.asarray(compiled(vars_c, imgs))
+        imgs_variants = [imgs + jnp.float32(i).astype(imgs.dtype)
+                         for i in range(3)]
+        batch_times = []
+        for i in range(n_batches):
+            t0 = time.time()
+            np.asarray(compiled(vars_c, imgs_variants[i % 3]))
+            batch_times.append(time.time() - t0)
+        metric_name = f"backbone-only images/sec/chip equivalent ({dtype})"
+    elif mode == "train":
         optimizer = build_optimizer(cfg, base_lr=cfg.trans_lr, use_schedule=False)
         trans_params = vars_t["params"]
         vars_t_extra = {k: v for k, v in vars_t.items() if k != "params"}

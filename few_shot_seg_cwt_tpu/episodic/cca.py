@@ -50,10 +50,18 @@ class CCAEngine(HeadEngine):
     def episode_parts(self, vars_b, episode, rng, s_label_override=None):
         cfg = self.cfg
         imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
+        if self._bf16_backbone:  # use_amp parity (src/train_cca.py autocast)
+            cast = lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating) else x
+            vars_b = jax.tree.map(cast, vars_b)
+            imgs = imgs.astype(jnp.bfloat16)
         feat, feats = self.backbone.apply(
             vars_b, imgs, train=False,
             method=self.backbone.extract_features, mutable=False,
         )
+        if self._bf16_backbone:
+            feat = feat.astype(jnp.float32)
+            feats = jax.tree.map(lambda t: t.astype(jnp.float32), feats)
         f_s, f_q = feat[:-1], feat[-1:]
         fs_feats = jax.tree.map(lambda t: t[:-1], feats)
         fq_feats = jax.tree.map(lambda t: t[-1:], feats)

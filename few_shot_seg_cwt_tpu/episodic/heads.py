@@ -82,6 +82,13 @@ class HeadEngine:
         self.cfg = cfg
         self.head_type = head_type
         self.backbone = build_pspnet(cfg)
+        # the reference's AMP wraps these trainers' forward (use_amp,
+        # src/train_kshot.py:146-190) — map it to the same bf16 backbone
+        # cast the CWT engine uses; head math stays f32
+        from ..models.pspnet import stage_dtype_policy
+
+        pol = stage_dtype_policy(cfg)
+        self._bf16_backbone = set(pol.values()) == {jnp.bfloat16}
         self.head = build_head(cfg, head_type)
         # train_fuse consumes a *frozen pretrained* MatchNet (src/train_fuse.py:100)
         self.frozen_match = frozen_match or (
@@ -97,10 +104,18 @@ class HeadEngine:
         """Backbone features, adapted classifier, raw preds — shared prologue."""
         cfg = self.cfg
         imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
+        if self._bf16_backbone:
+            cast = lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating) else x
+            vars_b = jax.tree.map(cast, vars_b)
+            imgs = imgs.astype(jnp.bfloat16)
         feat, feats = self.backbone.apply(
             vars_b, imgs, train=False,
             method=self.backbone.extract_features, mutable=False,
         )
+        if self._bf16_backbone:
+            feat = feat.astype(jnp.float32)
+            feats = jax.tree.map(lambda t: t.astype(jnp.float32), feats)
         f_s, f_q = feat[:-1], feat[-1:]
         fs_feats = jax.tree.map(lambda t: t[:-1], feats)
         fq_feats = jax.tree.map(lambda t: t[-1:], feats)

@@ -149,3 +149,41 @@ def test_sampler_raises_instead_of_hanging_on_small_class():
             ds.sample(0)
     finally:
         E._read_pair = orig
+
+
+def test_head_engine_use_amp_backbone_cast():
+    """use_amp runs the head trainers' backbone in bf16 (reference AMP,
+    src/train_kshot.py:146-190); head math stays f32 and the loss stays
+    close to the fp32 engine's."""
+    import jax
+
+    cfg = default_cfg()
+    cfg.image_size = 33
+    cfg.adapt_iter = 2
+    cfg.rmid = "l34"
+    cfg.att_wt = 0.5
+    e32 = HeadEngine(cfg, "mmn")
+    cfg_amp = cfg.clone()
+    cfg_amp.use_amp = True
+    eamp = HeadEngine(cfg_amp, "mmn")
+    assert eamp._bf16_backbone and not e32._bf16_backbone
+
+    import jax.numpy as jnp
+
+    probe = jnp.zeros((1, 33, 33, 3), jnp.float32)
+    vars_b = e32.backbone.init({"params": jax.random.PRNGKey(0)}, probe,
+                               train=False)
+    rng = np.random.default_rng(5)
+    ep = make_episode(rng, size=33, shot=1)
+    ep = {k: jnp.asarray(v) for k, v in ep.items()}
+    tr = jax.jit(lambda e: HeadEngine.episode_parts(e32, vars_b, e,
+                                                    jax.random.PRNGKey(1)))
+    ta = jax.jit(lambda e: HeadEngine.episode_parts(eamp, vars_b, e,
+                                                    jax.random.PRNGKey(1)))
+    p32 = tr(ep)
+    pamp = ta(ep)
+    assert pamp["f_q"].dtype == jnp.float32  # head math stays f32
+    # bf16 backbone wiggles features, not wrecks them
+    denom = np.abs(np.asarray(p32["f_q"])).mean() + 1e-6
+    rel = np.abs(np.asarray(pamp["f_q"]) - np.asarray(p32["f_q"])).mean() / denom
+    assert rel < 0.15, rel
