@@ -228,11 +228,15 @@ def main() -> None:
         # BENCH_EVAL_PROGRAM=logits times the logits-returning program
         # instead; its (E,60,60,2)x2 outputs make it transport-sensitive
         # (measured 91.5 vs 100.4 eps/s on a degraded tunnel, same compute).
-        eval_fn = (
-            engine.eval_batch
-            if os.environ.get("BENCH_EVAL_PROGRAM") == "logits"
-            else engine.eval_metrics_batch
-        )
+        program = os.environ.get("BENCH_EVAL_PROGRAM", "metrics")
+        if program == "logits":
+            eval_fn = engine.eval_batch
+        elif program == "no_cwt":
+            # decomposition probe: inner loop + raw-classifier metrics, no CWT
+            base = engine.eval_metrics_batch_no_cwt
+            eval_fn = jax.jit(lambda vb, vt, ep, rngs: base(vb, ep, rngs))
+        else:
+            eval_fn = engine.eval_metrics_batch
         t_c = time.time()
         lowered = eval_fn.lower(
             vars_b, vars_t, episode_batches[0], rng_arrays[-1]
@@ -242,7 +246,7 @@ def main() -> None:
         flops_total = _cost_flops(compiled)
 
         out = compiled(vars_b, vars_t, episode_batches[0], rng_arrays[-1])
-        sync_key = "pred_q" if "pred_q" in out else "loss"
+        sync_key = next(k for k in ("pred_q", "loss", "loss0") if k in out)
         np.asarray(out[sync_key])
 
         batch_times = []

@@ -160,7 +160,8 @@ _DEFAULTS: Dict[str, Any] = {
     "episodic": True,
     "episodic_val": True,
     "norm_feat": True,
-    "batch_size_val": 100,
+    "batch_size_val": 100,    # reference CLI compat; the device batching knob
+                              # here is episode_batch (vmap width per program)
     "manual_seed": 2021,
     "ckpt_used": "best",
     "test_num": 1000,

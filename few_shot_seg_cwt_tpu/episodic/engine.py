@@ -42,7 +42,8 @@ import optax
 from ..models.cwt import build_cwt
 from ..models.pspnet import (apply_classifier, build_pspnet,
                              init_classifier_weights, stage_dtype_policy)
-from ..ops.losses import class_balance_weights, weighted_cross_entropy
+from ..ops.losses import (binary_weighted_ce_from_diff, class_balance_weights,
+                          weighted_cross_entropy)
 from ..ops.metrics import intersection_and_union
 from ..ops.resize import upsample_bilinear_ac
 
@@ -159,12 +160,28 @@ class EpisodicEngine:
     def _upsampled_metrics(self, pred, q_label):
         """align-corners upsample -> argmax I/U + unweighted CE (src:214-230)."""
         size = q_label.shape[-2:]
+        if self.num_classes == 2:
+            # K=2 fast tail: upsampling is linear and argmax/CE depend only
+            # on the logit DIFFERENCE, so run the whole 473px tail on ONE
+            # (H, W) plane — half the upsample, full VPU lanes everywhere.
+            # Ties: argmax picks the first max (class 0) <=> d > 0 exactly.
+            d = self._upsampled_diff(pred, size)
+            inter, union, _ = intersection_and_union(
+                (d > 0).astype(jnp.int32), q_label, 2
+            )
+            ones = jnp.ones((2,), jnp.float32)
+            return inter, union, binary_weighted_ce_from_diff(d, q_label, ones)
         logits = upsample_bilinear_ac(pred[None].astype(jnp.float32), size)[0]
         inter, union, _ = intersection_and_union(
             jnp.argmax(logits, -1), q_label, self.num_classes
         )
         ones = jnp.ones((self.num_classes,), jnp.float32)
         return inter, union, weighted_cross_entropy(logits, q_label, ones)
+
+    def _upsampled_diff(self, pred, size):
+        """(h, w, 2) feature-res logits -> upsampled (H, W) difference plane."""
+        d = (pred[..., 1] - pred[..., 0]).astype(jnp.float32)
+        return upsample_bilinear_ac(d[None, ..., None], size)[0, ..., 0]
 
     def eval_episode_from_w0(self, vars_b, vars_t, episode, w0) -> Dict[str, jnp.ndarray]:
         """Same as eval_episode but with injected initial classifier weights."""
@@ -201,26 +218,24 @@ class EpisodicEngine:
             rngs={"dropout": rng_attn},
         )[0]
         logits60 = apply_classifier(w_upd, f_qn)    # (1, h, w, K)
-        logits = upsample_bilinear_ac(
-            logits60, (self.image_size, self.image_size)
-        )[0]
         q_label = episode["q_label"]
+        size = q_label.shape[-2:]
         qw = class_balance_weights(q_label, num_classes=self.num_classes)
-        loss = weighted_cross_entropy(logits, q_label, qw)
+        if self.num_classes == 2:
+            # single-plane 473px tail (see _upsampled_metrics); the gradient
+            # through the diff is identical to the two-logit CE gradient
+            d = self._upsampled_diff(logits60[0], size)
+            loss = binary_weighted_ce_from_diff(d, q_label, qw)
+        else:
+            logits = upsample_bilinear_ac(logits60, size)[0]
+            loss = weighted_cross_entropy(logits, q_label, qw)
 
         if not with_metrics:
             return loss, {}
 
         # train metrics (fg/bg IoU of transformed and raw predictions)
-        inter, union, _ = intersection_and_union(
-            jnp.argmax(logits, -1), q_label, self.num_classes
-        )
-        logits0 = upsample_bilinear_ac(
-            pred_q0[None], (self.image_size, self.image_size)
-        )[0]
-        inter0, union0, _ = intersection_and_union(
-            jnp.argmax(logits0, -1), q_label, self.num_classes
-        )
+        inter, union, _ = self._upsampled_metrics(logits60[0], q_label)
+        inter0, union0, _ = self._upsampled_metrics(pred_q0, q_label)
         metrics = {"inter": inter, "union": union, "inter0": inter0, "union0": union0}
         return loss, metrics
 

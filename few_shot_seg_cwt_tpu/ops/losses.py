@@ -55,6 +55,29 @@ def weighted_cross_entropy(
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
+def binary_weighted_ce_from_diff(
+    diff: jnp.ndarray,
+    target: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """``weighted_cross_entropy`` for K=2 computed from the logit DIFFERENCE.
+
+    For two classes the per-pixel CE depends only on d = l1 - l0:
+    logsumexp(l0, l1) - l_y = softplus(d) - y*d (the l0 term cancels), so the
+    whole loss runs on one (H, W) plane with full VPU lanes instead of an
+    (H, W, 2) log_softmax whose lane dim is 2. Value and gradient are
+    bitwise-equivalent math to the K=2 path of weighted_cross_entropy.
+    """
+    valid = target != ignore_index
+    y = ((target == 1) & valid)
+    d = diff.astype(jnp.float32)
+    nll = jax.nn.softplus(d) - jnp.where(y, d, 0.0)
+    cw = class_weights.astype(jnp.float32)
+    w = jnp.where(y, cw[1], cw[0]) * valid.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
 def cross_entropy(
     logits: jnp.ndarray, target: jnp.ndarray, ignore_index: int = 255
 ) -> jnp.ndarray:

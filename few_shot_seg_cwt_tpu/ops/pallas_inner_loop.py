@@ -187,6 +187,10 @@ def _fits_vmem(shot: int, h: int, w: int, c: int, big_h: int, big_w: int) -> boo
 def pallas_inner_loop_available(f_s_shape: Tuple[int, ...],
                                 label_shape: Tuple[int, ...]) -> bool:
     """Dispatch check: TPU backend, single shot, fits VMEM."""
+    import os
+
+    if os.environ.get("FSS_DISABLE_PALLAS") == "1":  # A/B vs the XLA scan
+        return False
     if not HAVE_PALLAS:
         return False
     try:

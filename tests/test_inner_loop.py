@@ -134,3 +134,59 @@ def test_pallas_kernel_matches_scan_interpret(rng):
     )
     got = np.stack([w0[0] + 0.1 * np.asarray(acc), w0[1] - 0.1 * np.asarray(acc)])
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-6)
+
+
+def test_binary_ce_from_diff_matches_weighted_ce(rng):
+    """The single-plane (diff) CE equals the two-logit weighted CE — value
+    and gradient (the 473px eval/train tail runs on one plane, engine.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from few_shot_seg_cwt_tpu.ops.losses import (
+        binary_weighted_ce_from_diff, weighted_cross_entropy)
+
+    logits = jnp.asarray(rng.standard_normal((37, 41, 2)).astype(np.float32)) * 3
+    target = jnp.asarray(rng.choice([0, 1, 255], size=(37, 41),
+                                    p=[0.45, 0.45, 0.1]).astype(np.int32))
+    cw = jnp.asarray([1.0, 2.7], jnp.float32)
+
+    ref = weighted_cross_entropy(logits, target, cw)
+    got = binary_weighted_ce_from_diff(logits[..., 1] - logits[..., 0],
+                                       target, cw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+    # gradients w.r.t. the logits agree through the diff
+    g_ref = jax.grad(lambda l: weighted_cross_entropy(l, target, cw))(logits)
+    g_diff = jax.grad(
+        lambda l: binary_weighted_ce_from_diff(l[..., 1] - l[..., 0], target, cw)
+    )(logits)
+    np.testing.assert_allclose(np.asarray(g_diff), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_upsampled_diff_tail_matches_generic(rng):
+    """engine._upsampled_metrics K=2 plane path == the generic K-channel path
+    (upsample-then-argmax, tie -> class 0, CE over valid)."""
+    import jax.numpy as jnp
+
+    from few_shot_seg_cwt_tpu.config import default_cfg
+    from few_shot_seg_cwt_tpu.episodic.engine import EpisodicEngine
+    from few_shot_seg_cwt_tpu.ops.losses import weighted_cross_entropy
+    from few_shot_seg_cwt_tpu.ops.metrics import intersection_and_union
+    from few_shot_seg_cwt_tpu.ops.resize import upsample_bilinear_ac
+
+    cfg = default_cfg()
+    cfg.image_size = 33
+    eng = EpisodicEngine(cfg)
+    pred = jnp.asarray(rng.standard_normal((5, 5, 2)).astype(np.float32))
+    q_label = jnp.asarray(rng.choice([0, 1, 255], size=(33, 33),
+                                     p=[0.4, 0.4, 0.2]).astype(np.int32))
+
+    inter, union, loss = jax.jit(eng._upsampled_metrics)(pred, q_label)
+
+    logits = upsample_bilinear_ac(pred[None].astype(jnp.float32), (33, 33))[0]
+    ref_i, ref_u, _ = intersection_and_union(jnp.argmax(logits, -1), q_label, 2)
+    ref_loss = weighted_cross_entropy(logits, q_label, jnp.ones(2, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(inter), np.asarray(ref_i))
+    np.testing.assert_array_equal(np.asarray(union), np.asarray(ref_u))
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(ref_loss), rtol=1e-6)
