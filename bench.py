@@ -150,16 +150,13 @@ def main() -> None:
         # decomposition probe: JUST the frozen feature extractor on the same
         # image volume as an eval batch (2 images/episode) — isolates conv
         # efficiency from the episodic machinery (inner loop/CWT/metrics)
+        from few_shot_seg_cwt_tpu.models.pspnet import cast_backbone_io
+
         imgs = jnp.concatenate(
             [episode_batches[0]["s_img"].reshape(-1, size, size, 3),
              episode_batches[0]["q_img"]], axis=0,
         )
-        vars_c = vars_b
-        if dtype == "bfloat16":
-            cast = lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(
-                jnp.asarray(x).dtype, jnp.floating) else x
-            vars_c = jax.tree.map(cast, vars_b)
-            imgs = imgs.astype(jnp.bfloat16)
+        vars_c, imgs = cast_backbone_io(engine.stage_policy, vars_b, imgs)
 
         fn = jax.jit(lambda v, im: engine.backbone.apply(
             v, im, train=False, method=engine.backbone.extract_features,

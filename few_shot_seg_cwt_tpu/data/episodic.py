@@ -53,6 +53,22 @@ def binarize(label: np.ndarray, target_class: int) -> np.ndarray:
     return out
 
 
+def pad_support_static(s_img_arr: np.ndarray, s_lab_arr: np.ndarray,
+                       max_total: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad support stacks to a static shot count: zero images, all-255 labels
+    (padded shots are invisible to the loss/weights and masked by the heads)."""
+    total = s_img_arr.shape[0]
+    if total < max_total:
+        pad_n = max_total - total
+        s_img_arr = np.concatenate(
+            [s_img_arr, np.zeros((pad_n, *s_img_arr.shape[1:]), np.float32)], 0
+        )
+        s_lab_arr = np.concatenate(
+            [s_lab_arr, np.full((pad_n, *s_lab_arr.shape[1:]), 255, np.int32)], 0
+        )
+    return s_img_arr, s_lab_arr
+
+
 class EpisodicDataset:
     """Index-addressable episode sampler (one episode per query image index)."""
 
@@ -159,17 +175,9 @@ class EpisodicDataset:
         s_lab_arr = np.concatenate(s_labels, axis=0).astype(np.int32)
 
         # static-shape padding for random_shot / meta_aug variability
-        total = s_img_arr.shape[0]
         max_total = self.max_shot * (1 + max(self.meta_aug - 1, 0)) \
             if self.meta_aug > 1 else self.max_shot
-        if total < max_total:
-            pad_n = max_total - total
-            s_img_arr = np.concatenate(
-                [s_img_arr, np.zeros((pad_n, *s_img_arr.shape[1:]), np.float32)], 0
-            )
-            s_lab_arr = np.concatenate(
-                [s_lab_arr, np.full((pad_n, *s_lab_arr.shape[1:]), 255, np.int32)], 0
-            )
+        s_img_arr, s_lab_arr = pad_support_static(s_img_arr, s_lab_arr, max_total)
 
         # the class id reported is the fold-local rank + 1 (reference :265)
         subcls = self.class_list.index(class_chosen) + 1

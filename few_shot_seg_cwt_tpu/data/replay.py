@@ -29,7 +29,7 @@ import numpy as np
 
 from . import transforms as T
 from .classes import resolve_val_classes
-from .episodic import _read_pair, binarize
+from .episodic import _read_pair, binarize, pad_support_static
 
 
 def load_episode_log(path: str) -> List[Dict]:
@@ -82,11 +82,9 @@ class ReplayEpisodicDataset:
         s_imgs, s_labels = [], []
         for sp, lp in ep["s"]:
             s_img, s_lab_raw = _read_pair(self._abs(sp), self._abs(lp))
-            # support binarization drops 255 before re-marking it
-            # (reference dataset.py:275-279)
-            s_lab = np.zeros_like(s_lab_raw)
-            s_lab[s_lab_raw == class_chosen] = 1
-            s_lab[s_lab_raw == 255] = 255
+            # reference orders the support writes 255-last (dataset.py:275-279)
+            # vs the query's 255-first — identical outcome, shared helper
+            s_lab = binarize(s_lab_raw, class_chosen)
             img_t, lab_t = self.transform(s_img, s_lab)
             s_imgs.append(img_t[None])
             s_labels.append(lab_t[None])
@@ -94,14 +92,9 @@ class ReplayEpisodicDataset:
         s_img_arr = np.concatenate(s_imgs, 0).astype(np.float32)
         s_lab_arr = np.concatenate(s_labels, 0).astype(np.int32)
         shot = s_img_arr.shape[0]
-        if shot < self.max_shot:  # static-shape pad, same rule as the sampler
-            pad_n = self.max_shot - shot
-            s_img_arr = np.concatenate(
-                [s_img_arr, np.zeros((pad_n, *s_img_arr.shape[1:]), np.float32)], 0
-            )
-            s_lab_arr = np.concatenate(
-                [s_lab_arr, np.full((pad_n, *s_lab_arr.shape[1:]), 255, np.int32)], 0
-            )
+        # static-shape pad, same rule as the sampler
+        s_img_arr, s_lab_arr = pad_support_static(s_img_arr, s_lab_arr,
+                                                  self.max_shot)
 
         subcls = self.class_list.index(class_chosen) + 1
         return {

@@ -50,16 +50,15 @@ class CCAEngine(HeadEngine):
     def episode_parts(self, vars_b, episode, rng, s_label_override=None):
         cfg = self.cfg
         imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
-        if self._bf16_backbone:  # use_amp parity (src/train_cca.py autocast)
-            cast = lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(
-                jnp.asarray(x).dtype, jnp.floating) else x
-            vars_b = jax.tree.map(cast, vars_b)
-            imgs = imgs.astype(jnp.bfloat16)
+        if self._cast_backbone:  # use_amp parity (src/train_cca.py autocast)
+            from ..models.pspnet import cast_backbone_io
+
+            vars_b, imgs = cast_backbone_io(self.stage_policy, vars_b, imgs)
         feat, feats = self.backbone.apply(
             vars_b, imgs, train=False,
             method=self.backbone.extract_features, mutable=False,
         )
-        if self._bf16_backbone:
+        if self._cast_backbone:
             feat = feat.astype(jnp.float32)
             feats = jax.tree.map(lambda t: t.astype(jnp.float32), feats)
         f_s, f_q = feat[:-1], feat[-1:]

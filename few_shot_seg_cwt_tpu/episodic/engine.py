@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.cwt import build_cwt
-from ..models.pspnet import (apply_classifier, build_pspnet,
+from ..models.pspnet import (apply_classifier, build_pspnet, cast_backbone_io,
                              init_classifier_weights, stage_dtype_policy)
 from ..ops.losses import (binary_weighted_ce_from_diff, class_balance_weights,
                           weighted_cross_entropy)
@@ -76,40 +76,7 @@ class EpisodicEngine:
         self._mixed_policy = len(dts) > 1
 
     def _cast_backbone_inputs(self, vars_b, imgs):
-        if self._mixed_policy:
-            return self._cast_mixed(vars_b, imgs)
-        if self.compute_dtype == jnp.float32:
-            return vars_b, imgs
-        cast = lambda x: x.astype(self.compute_dtype) if jnp.issubdtype(
-            jnp.asarray(x).dtype, jnp.floating) else x
-        return jax.tree.map(cast, vars_b), imgs.astype(self.compute_dtype)
-
-    def _cast_mixed(self, vars_b, imgs):
-        """Per-stage param/stat casts; the model casts activations at the
-        matching stage boundaries (models/resnet.py, models/pspnet.py)."""
-        pol = self.stage_policy
-
-        def path_stage(path):
-            keys = [getattr(p, "key", None) for p in path]
-            if "trunk" in keys:
-                nxt = keys[keys.index("trunk") + 1]
-                return ("layer" + nxt[5] if str(nxt).startswith("layer")
-                        else "stem")
-            if "ppm" in keys:
-                return "ppm"
-            if any(str(k).startswith("bottleneck") for k in keys):
-                return "bottleneck"
-            return None  # classifier/gamma: untouched (episodic math is f32)
-
-        def cast(path, x):
-            st = path_stage(path)
-            x = jnp.asarray(x)
-            if st is None or not jnp.issubdtype(x.dtype, jnp.floating):
-                return x
-            return x.astype(pol[st])
-
-        return (jax.tree_util.tree_map_with_path(cast, vars_b),
-                imgs.astype(pol["stem"]))
+        return cast_backbone_io(self.stage_policy, vars_b, imgs)
 
     # ------------------------------------------------------------------ #
     # single-episode programs

@@ -83,12 +83,13 @@ class HeadEngine:
         self.head_type = head_type
         self.backbone = build_pspnet(cfg)
         # the reference's AMP wraps these trainers' forward (use_amp,
-        # src/train_kshot.py:146-190) — map it to the same bf16 backbone
-        # cast the CWT engine uses; head math stays f32
-        from ..models.pspnet import stage_dtype_policy
+        # src/train_kshot.py:146-190) — map it to the same backbone dtype
+        # policy the CWT engine uses (incl. mixed bf16_stages, whose
+        # activation casts build_pspnet already installed); head math stays f32
+        from ..models.pspnet import policy_is_noop, stage_dtype_policy
 
-        pol = stage_dtype_policy(cfg)
-        self._bf16_backbone = set(pol.values()) == {jnp.bfloat16}
+        self.stage_policy = stage_dtype_policy(cfg)
+        self._cast_backbone = not policy_is_noop(self.stage_policy)
         self.head = build_head(cfg, head_type)
         # train_fuse consumes a *frozen pretrained* MatchNet (src/train_fuse.py:100)
         self.frozen_match = frozen_match or (
@@ -104,16 +105,15 @@ class HeadEngine:
         """Backbone features, adapted classifier, raw preds — shared prologue."""
         cfg = self.cfg
         imgs = jnp.concatenate([episode["s_img"], episode["q_img"][None]], axis=0)
-        if self._bf16_backbone:
-            cast = lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(
-                jnp.asarray(x).dtype, jnp.floating) else x
-            vars_b = jax.tree.map(cast, vars_b)
-            imgs = imgs.astype(jnp.bfloat16)
+        if self._cast_backbone:
+            from ..models.pspnet import cast_backbone_io
+
+            vars_b, imgs = cast_backbone_io(self.stage_policy, vars_b, imgs)
         feat, feats = self.backbone.apply(
             vars_b, imgs, train=False,
             method=self.backbone.extract_features, mutable=False,
         )
-        if self._bf16_backbone:
+        if self._cast_backbone:
             feat = feat.astype(jnp.float32)
             feats = jax.tree.map(lambda t: t.astype(jnp.float32), feats)
         f_s, f_q = feat[:-1], feat[-1:]

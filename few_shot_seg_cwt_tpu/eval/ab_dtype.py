@@ -89,6 +89,7 @@ def run_ab(cfg, n_episodes: int, e_batch: int,
         from ..data.replay import ReplayEpisodicDataset
 
         ds = ReplayEpisodicDataset(cfg, str(cfg.replay))
+        e_batch = min(e_batch, len(ds))  # logs smaller than one batch still run
         loader = EpisodeLoader(ds, batch_size=e_batch, shuffle=False,
                                num_workers=cfg.workers, drop_last=True)
         replay_batches = iter(loader)
@@ -152,9 +153,14 @@ def run_ab(cfg, n_episodes: int, e_batch: int,
 
 
 def main(argv=None) -> Dict[str, float]:
-    from ..config import default_cfg
+    from ..config import default_cfg, load_cfg, merge_cfg_from_list
 
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None,
+                    help="experiment yaml (data_root/split/arch...); "
+                         "defaults to the built-in defaults table")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="config overrides: key value key value ...")
     ap.add_argument("--episodes", type=int, default=128)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--image-size", type=int, default=473)
@@ -172,7 +178,9 @@ def main(argv=None) -> Dict[str, float]:
                          "per stage) and print one JSON line per stage")
     ns = ap.parse_args(argv)
 
-    cfg = default_cfg()
+    cfg = load_cfg(ns.config) if ns.config else default_cfg()
+    if ns.opts:
+        cfg = merge_cfg_from_list(cfg, ns.opts)
     cfg.image_size = ns.image_size
     cfg.shot = ns.shot
     cfg.pretrained = False

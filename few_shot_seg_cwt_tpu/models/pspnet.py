@@ -73,6 +73,50 @@ def _policy_tuple(policy: Dict[str, Any]):
     return tuple((s, jnp.dtype(policy[s]).name) for s in BACKBONE_STAGES)
 
 
+def policy_is_noop(policy: Dict[str, Any]) -> bool:
+    return set(policy.values()) == {jnp.float32}
+
+
+def cast_backbone_io(policy: Dict[str, Any], variables, imgs):
+    """Apply a stage dtype policy to backbone variables + input images.
+
+    The single implementation every engine shares (EpisodicEngine, HeadEngine,
+    CCAEngine, bench probes): uniform f32 is a no-op; uniform bf16 casts the
+    whole tree; a MIXED policy casts params/stats per stage path, matching the
+    stage-boundary activation casts the model installs (build_pspnet).
+    Consumers must cast the OUTPUT features back to f32 themselves.
+    """
+    dts = set(policy.values())
+    if dts == {jnp.float32}:
+        return variables, imgs
+    if dts == {jnp.bfloat16}:
+        cast = lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(
+            jnp.asarray(x).dtype, jnp.floating) else x
+        return jax.tree.map(cast, variables), imgs.astype(jnp.bfloat16)
+
+    def path_stage(path):
+        keys = [getattr(p, "key", None) for p in path]
+        if "trunk" in keys:
+            nxt = keys[keys.index("trunk") + 1]
+            return ("layer" + nxt[5] if str(nxt).startswith("layer")
+                    else "stem")
+        if "ppm" in keys:
+            return "ppm"
+        if any(str(k).startswith("bottleneck") for k in keys):
+            return "bottleneck"
+        return None  # classifier/gamma: untouched (episodic math is f32)
+
+    def cast(path, x):
+        st = path_stage(path)
+        x = jnp.asarray(x)
+        if st is None or not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        return x.astype(policy[st])
+
+    return (jax.tree_util.tree_map_with_path(cast, variables),
+            imgs.astype(policy["stem"]))
+
+
 def init_classifier_weights(rng: jax.Array, num_classes: int, in_dim: int,
                             dtype=jnp.float32) -> jnp.ndarray:
     """Fresh episodic 1x1-classifier weights, torch Conv2d default init.

@@ -58,6 +58,12 @@ def check_lists(cfg, rep: Report, sample: int) -> None:
     if not lines:
         rep.fail("val_list", "empty list file")
         return
+    malformed = [i for i, p in enumerate(lines) if len(p) < 2]
+    if malformed:
+        rep.fail("val_list format",
+                 f"{len(malformed)} line(s) lack 'image label' columns; "
+                 f"first at line {malformed[0] + 1}")
+        return
     step = max(1, len(lines) // max(sample, 1))
     bad: List[str] = []
     checked = 0
@@ -202,9 +208,10 @@ def check_replay(cfg, rep: Report, replay: str) -> None:
         return
     want = cfg.n_runs * cfg.test_num
     first = eps[0]
-    probe = os.path.join(cfg.data_root, first["q"][0])
-    if not os.path.isfile(probe) and not os.path.isabs(first["q"][0]):
-        rep.fail("replay paths", f"first query {probe} not found under data_root")
+    q0 = first["q"][0]
+    probe = q0 if os.path.isabs(q0) else os.path.join(cfg.data_root, q0)
+    if not os.path.isfile(probe):
+        rep.fail("replay paths", f"first query {probe} not found")
     elif len(eps) < want:
         rep.fail("replay length",
                  f"{len(eps)} episodes < n_runs*test_num = {want}")

@@ -166,7 +166,7 @@ def test_head_engine_use_amp_backbone_cast():
     cfg_amp = cfg.clone()
     cfg_amp.use_amp = True
     eamp = HeadEngine(cfg_amp, "mmn")
-    assert eamp._bf16_backbone and not e32._bf16_backbone
+    assert eamp._cast_backbone and not e32._cast_backbone
 
     import jax.numpy as jnp
 
