@@ -101,10 +101,14 @@ def _adapt_binary(f_s, s_label, w_init, num_steps, lr, cls_weights):
     pw = pw / jnp.maximum(jnp.sum(pw), 1e-12)   # fold the 1/sum(pw) into pw
 
     if pallas_inner_loop_available(f_s.shape, s_label.shape):
+        from ..ops.pallas_inner_loop import batched_adapt_binary
+
         u0 = (w_init[1] - w_init[0]).astype(jnp.float32)
-        acc = adapt_binary_pallas(
-            f_s, pw, pw * y, u0, num_steps=num_steps, lr=float(lr)
-        )
+        # custom_vmap wrapper: under the engines' episode vmap this dispatches
+        # the episode-TILED kernel (independent per-episode gradient chains
+        # interleaved inside one kernel instance); unbatched calls run the
+        # per-episode kernel unchanged
+        acc = batched_adapt_binary(num_steps, float(lr))(f_s, pw, pw * y, u0)
         return jnp.stack([w_init[0] + lr * acc, w_init[1] - lr * acc], axis=0)
 
     a = jnp.asarray(interp_matrix_align_corners(big_h, h))      # (H, h)

@@ -94,6 +94,174 @@ def _kernel(num_steps: int, lr: float, shot: int,
     acc_ref[:] = jax.lax.fori_loop(0, num_steps, step, jnp.zeros_like(u0))
 
 
+def _tiled_kernel(num_steps: int, lr: float, tile: int, n_chunks: int,
+                  fs_ref, a_ref, b_ref, pws_ref, u0_ref, acc_ref):
+    """1-shot kernel instance evolving TILE episodes' accumulators jointly.
+
+    The per-episode gradient chains are data-independent; unrolling ``tile``
+    of them per step lets Mosaic interleave their MXU/VPU ops, hiding the
+    serial op latency that dominates the single-episode kernel (measured
+    ~6.8 us/step vs ~3 us of raw compute at 1-shot @473 — each step is a
+    dependent chain of ~8 small ops). Refs are indexed at STATIC leading-axis
+    offsets only (Mosaic allows no lane slicing / value dynamic_slice).
+    """
+    a = a_ref[:]                 # (H, h)
+    b = b_ref[:]                 # (W, w)
+    u0 = u0_ref[:]               # (tile*n_chunks, chunk)
+    scale = 2.0 * lr
+
+    def episode_grad(e, u):
+        d60 = jnp.zeros((a.shape[1], b.shape[1]), jnp.float32)
+        for k in range(n_chunks):                                    # static
+            blk = fs_ref[e * n_chunks + k]
+            d60 += jnp.sum(blk * u[e * n_chunks + k][None, None, :], axis=-1)
+        d473 = jnp.dot(
+            jnp.dot(a, d60, preferred_element_type=jnp.float32),
+            b.T, preferred_element_type=jnp.float32,
+        )
+        pws = pws_ref[e]
+        g = jnp.abs(pws) * (jax.nn.sigmoid(d473) - 0.5) + 0.5 * pws
+        g60 = jnp.dot(
+            jnp.dot(a.T, g, preferred_element_type=jnp.float32),
+            b, preferred_element_type=jnp.float32,
+        )
+        gu = [jnp.sum(fs_ref[e * n_chunks + k] * g60[:, :, None], axis=(0, 1))
+              for k in range(n_chunks)]
+        return jnp.stack(gu, axis=0)                                 # (n_chunks, chunk)
+
+    def step(_, acc):
+        u = u0 - scale * acc
+        grads = [episode_grad(e, u) for e in range(tile)]            # independent
+        return acc + jnp.concatenate(grads, axis=0)
+
+    acc_ref[:] = jax.lax.fori_loop(0, num_steps, step, jnp.zeros_like(u0))
+
+
+def _vmem_need_tiled(tile: int, h: int, w: int, c: int,
+                     big_h: int, big_w: int) -> int:
+    """VMEM model for the tiled 1-shot kernel: per-episode operands scale by
+    tile, the interpolation matrices are shared, and the interleaved chains
+    keep each episode's (H, W) transients live simultaneously."""
+    return (
+        4 * 2 * (
+            tile * h * w * c               # f_s tiles
+            + tile * big_h * big_w         # sign-packed pixel weights
+            + big_h * h + big_w * w        # A, B (shared)
+        )
+        + 4 * (3 * big_h * big_w + h * w * 128)   # fixed scratch
+        + tile * 8 * big_h * big_w * 4            # interleaved transients
+        + 4 * 1024 * 1024                         # safety margin
+    )
+
+
+def _pick_tile(axis_size: int, shot: int, h: int, w: int, c: int,
+               big_h: int, big_w: int) -> int:
+    """Default 1: the tile=4 experiment measured 98.7 vs 100.3 eps/s at the
+    473px protocol — Mosaic does not interleave the independent chains
+    enough to beat the per-episode kernel's smaller VMEM footprint
+    (BENCH.md round 3). FSS_INNER_TILE=2|4 re-enables the tiled kernel for
+    future experiments; it remains interpret-mode parity-tested."""
+    import os
+
+    want = int(os.environ.get("FSS_INNER_TILE", "1"))
+    if shot != 1 or want <= 1:
+        return 1
+    for t in (want, 2):
+        if t > 1 and axis_size % t == 0 and _vmem_need_tiled(
+                t, h, w, c, big_h, big_w) < 127 * 1024 * 1024:
+            return t
+    return 1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_steps", "lr", "tile", "interpret"))
+def adapt_binary_pallas_tiled(
+    f_s: jnp.ndarray,        # (E, 1, h, w, C) support features
+    pw: jnp.ndarray,         # (E, 1, H, W) normalized pixel weights
+    pwy: jnp.ndarray,        # (E, 1, H, W) pw * y
+    u0: jnp.ndarray,         # (E, C) initial row differences
+    num_steps: int,
+    lr: float,
+    tile: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Episode-batched 1-shot inner loop, ``tile`` episodes per kernel
+    instance (E % tile == 0). Returns (E, C) accumulators."""
+    e, shot, h, w, c = f_s.shape
+    assert shot == 1 and e % tile == 0, (f_s.shape, tile)
+    big_h, big_w = pw.shape[-2:]
+    a = jnp.asarray(interp_matrix_align_corners(big_h, h))
+    b = jnp.asarray(interp_matrix_align_corners(big_w, w))
+    pw_signed = (pw - 2.0 * pwy).reshape(e // tile, tile, big_h, big_w)
+    chunk = 128 if c % 128 == 0 else c
+    n_chunks = c // chunk
+    fs_chunked = f_s.reshape(e, h, w, n_chunks, chunk).transpose(0, 3, 1, 2, 4)
+    fs_chunked = fs_chunked.reshape(e // tile, tile * n_chunks, h, w, chunk)
+    u0_t = u0.reshape(e // tile, tile * n_chunks, chunk)
+
+    kernel = functools.partial(_tiled_kernel, num_steps, lr, tile, n_chunks)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[vmem() for _ in range(5)],
+        out_specs=vmem(),
+        out_shape=jax.ShapeDtypeStruct((tile * n_chunks, chunk), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                _vmem_need_tiled(tile, h, w, c, big_h, big_w),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_steps * tile * (
+                2 * h * w * c + 2 * big_h * h * w + 2 * big_h * big_w * w
+            ),
+            bytes_accessed=tile * (h * w * c + big_h * big_w) * 4,
+            transcendentals=num_steps * tile * big_h * big_w,
+        ),
+    )
+    acc = jax.vmap(call, in_axes=(0, None, None, 0, 0))(
+        fs_chunked.astype(jnp.float32), a, b,
+        pw_signed.astype(jnp.float32), u0_t.astype(jnp.float32),
+    )
+    return acc.reshape(e, c)
+
+
+@functools.lru_cache(maxsize=None)
+def batched_adapt_binary(num_steps: int, lr: float):
+    """custom_vmap wrapper: per-episode kernel unbatched, tiled kernel under
+    ``jax.vmap`` (the engines vmap whole episodes, so the episode axis is
+    only visible to a batching rule)."""
+    from jax.custom_batching import custom_vmap
+
+    def plain(f_s, pw, pwy, u0):
+        return adapt_binary_pallas(f_s, pw, pwy, u0,
+                                   num_steps=num_steps, lr=lr)
+
+    fn = custom_vmap(plain)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, f_s, pw, pwy, u0):  # noqa: ANN001
+        ops = [f_s, pw, pwy, u0]
+        for i, (x, bt) in enumerate(zip(ops, in_batched)):
+            if not bt:
+                ops[i] = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        f_s, pw, pwy, u0 = ops
+        shot, h, w, c = f_s.shape[1:]
+        big_h, big_w = pw.shape[-2:]
+        tile = _pick_tile(axis_size, shot, h, w, c, big_h, big_w)
+        if tile > 1:
+            out = adapt_binary_pallas_tiled(
+                f_s, pw, pwy, u0, num_steps=num_steps, lr=lr, tile=tile
+            )
+        else:
+            out = jax.vmap(plain)(f_s, pw, pwy, u0)
+        return out, True
+
+    return fn
+
+
 @functools.partial(jax.jit, static_argnames=("num_steps", "lr", "interpret"))
 def adapt_binary_pallas(
     f_s: jnp.ndarray,        # (shot, h, w, C) support features

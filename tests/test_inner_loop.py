@@ -190,3 +190,41 @@ def test_upsampled_diff_tail_matches_generic(rng):
     np.testing.assert_array_equal(np.asarray(inter), np.asarray(ref_i))
     np.testing.assert_array_equal(np.asarray(union), np.asarray(ref_u))
     np.testing.assert_allclose(np.asarray(loss), np.asarray(ref_loss), rtol=1e-6)
+
+
+def test_tiled_pallas_kernel_matches_per_episode(rng):
+    """The episode-tiled kernel (interpret mode) equals the per-episode
+    kernel / scan for every episode in the tile."""
+    import jax.numpy as jnp
+
+    from few_shot_seg_cwt_tpu.ops.losses import class_balance_weights
+    from few_shot_seg_cwt_tpu.ops.pallas_inner_loop import (
+        adapt_binary_pallas, adapt_binary_pallas_tiled)
+
+    eps = []
+    for i in range(4):
+        f_s, s_label = _make_episode(np.random.default_rng(50 + i),
+                                     shot=1, h=6, big=25, c=16)
+        valid = (s_label != 255)
+        y = (s_label == 1).astype(np.float32)
+        cw = np.asarray(class_balance_weights(jnp.asarray(s_label)))
+        pw = np.where(s_label == 1, cw[1], cw[0]) * valid
+        pw = (pw / pw.sum()).astype(np.float32)
+        u0 = np.asarray(rng.standard_normal(16).astype(np.float32))
+        eps.append((f_s.astype(np.float32), pw, (pw * y).astype(np.float32), u0))
+
+    f_s_b = jnp.asarray(np.stack([e[0] for e in eps]))
+    pw_b = jnp.asarray(np.stack([e[1] for e in eps]))
+    pwy_b = jnp.asarray(np.stack([e[2] for e in eps]))
+    u0_b = jnp.asarray(np.stack([e[3] for e in eps]))
+
+    tiled = adapt_binary_pallas_tiled(
+        f_s_b, pw_b, pwy_b, u0_b, num_steps=25, lr=0.1, tile=2, interpret=True
+    )
+    for i, (f_s, pw, pwy, u0) in enumerate(eps):
+        ref = adapt_binary_pallas(
+            jnp.asarray(f_s), jnp.asarray(pw), jnp.asarray(pwy),
+            jnp.asarray(u0), num_steps=25, lr=0.1, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(tiled[i]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
