@@ -101,3 +101,12 @@ def test_convert_ckpt_to_flax_cwt(tmp_path):
     main(["to-flax", "cwt", str(src), str(dst)])
     tree = load_ckpt(str(dst))
     assert tree["params"]["w_qkvs"]["kernel"].shape == (d, d)
+
+
+def test_bench_loader_tool(tmp_path):
+    """The host input-pipeline benchmark runs end to end and reports a rate."""
+    from few_shot_seg_cwt_tpu.tools.bench_loader import main
+
+    r = main(["--episodes", "8", "--batch", "4", "--image-size", "65",
+              "--images", "8", "--workers", "0"])
+    assert r["value"] > 0 and r["episodes"] == 8
