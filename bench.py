@@ -158,20 +158,36 @@ def main() -> None:
         )
         vars_c, imgs = cast_backbone_io(engine.stage_policy, vars_b, imgs)
 
-        fn = jax.jit(lambda v, im: engine.backbone.apply(
-            v, im, train=False, method=engine.backbone.extract_features,
-            mutable=False)[0].sum())
+        # BENCH_BACKBONE_MATERIALIZE=1 returns the (B, 60, 60, 512) features
+        # themselves (forces their HBM materialization + layout, like the
+        # episodic consumers do) instead of a fused scalar reduction
+        if os.environ.get("BENCH_BACKBONE_MATERIALIZE") == "1":
+            # the features become a program OUTPUT (HBM-materialized with the
+            # layout the episodic consumers see); the timed sync fetches only
+            # the scalar co-output, not the 88 MB array
+            def fn(v, im):
+                feat = engine.backbone.apply(
+                    v, im, train=False,
+                    method=engine.backbone.extract_features, mutable=False)[0]
+                return feat, feat[0, 0, 0, 0]
+
+            sync = lambda out: np.asarray(out[1])
+        else:
+            fn = lambda v, im: engine.backbone.apply(
+                v, im, train=False, method=engine.backbone.extract_features,
+                mutable=False)[0].sum()
+            sync = np.asarray
         t_c = time.time()
-        compiled = fn.lower(vars_c, imgs).compile()
+        compiled = jax.jit(fn).lower(vars_c, imgs).compile()
         compile_s = time.time() - t_c
         flops_total = _cost_flops(compiled)
-        np.asarray(compiled(vars_c, imgs))
+        sync(compiled(vars_c, imgs))
         imgs_variants = [imgs + jnp.float32(i).astype(imgs.dtype)
                          for i in range(3)]
         batch_times = []
         for i in range(n_batches):
             t0 = time.time()
-            np.asarray(compiled(vars_c, imgs_variants[i % 3]))
+            sync(compiled(vars_c, imgs_variants[i % 3]))
             batch_times.append(time.time() - t0)
         metric_name = f"backbone-only images/sec/chip equivalent ({dtype})"
     elif mode == "train":
