@@ -351,3 +351,53 @@ def test_coco_interleaved_episodic_end_to_end(mini_coco):
     assert out["inter"].shape == (2, 2) and np.isfinite(out["loss"]).all()
     # the reported class ids land in the 20-way coco val range
     assert all(1 <= c <= 20 for c in out["cls"])
+
+
+def test_cross_domain_config_end_to_end(tmp_path):
+    """coco2pascal / pascal2coco: the name-based cross-domain class filter
+    resolves through the shipped configs and drives the episodic sampler
+    (reference: src/dataset/classes.py:164-199, config_files/coco2pascal.yaml)."""
+    from few_shot_seg_cwt_tpu.config import load_cfg
+    from few_shot_seg_cwt_tpu.data.classes import (resolve_train_classes,
+                                                   resolve_val_classes)
+
+    c2p = load_cfg("configs/coco2pascal.yaml")
+    assert (c2p.train_name, c2p.test_name) == ("coco", "pascal")
+    val = resolve_val_classes(c2p)
+    # pascal test classes whose NAME was seen among coco train classes drop
+    full_fold = [1, 2, 3, 4, 5] if c2p.test_split == 0 else None
+    assert val and set(val) < set(range(1, 21))
+    assert len(val) <= 20
+    train = resolve_train_classes(c2p)
+    assert set(train) <= set(range(1, 82))
+
+    p2c = load_cfg("configs/pascal2coco.yaml")
+    assert (p2c.train_name, p2c.test_name) == ("pascal", "coco")
+    val2 = resolve_val_classes(p2c)
+    assert val2 and set(val2) <= set(range(1, 82))
+
+    # sampler runs end to end on a tree labeled with the filtered classes
+    root = tmp_path / "xd"
+    (root / "img").mkdir(parents=True)
+    (root / "lab").mkdir()
+    rng = np.random.default_rng(9)
+    lines = []
+    for i, cls in enumerate([val[0], val[1]] * 3):
+        img = rng.integers(0, 255, size=(80, 80, 3)).astype(np.uint8)
+        lab = np.zeros((80, 80), np.uint8)
+        lab[5:70, 5:70] = cls
+        cv2.imwrite(str(root / "img" / f"{i}.jpg"), img)
+        cv2.imwrite(str(root / "lab" / f"{i}.png"), lab)
+        lines.append(f"img/{i}.jpg lab/{i}.png\n")
+    lst = root / "val.txt"
+    lst.write_text("".join(lines))
+    cfg = c2p.clone()
+    cfg.data_root = str(root)
+    cfg.val_list = str(lst)
+    cfg.image_size = 65
+    cfg.workers = 0
+    cfg.scan_cache = None
+    ds = EpisodicDataset(cfg, train=False)
+    ep = ds[0]
+    assert 1 <= int(ep["cls"]) <= len(val)
+    assert (ep["s_label"] == 1).sum() > 0
