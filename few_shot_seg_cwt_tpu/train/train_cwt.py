@@ -43,6 +43,21 @@ from .common import (
 from .optim import build_optimizer
 
 
+def _pack_train_state(trans_params, vars_t_extra, opt_state, key,
+                      epoch: int, best: float):
+    """Full resumable train state — the reference's {'epoch','state_dict',
+    'optimizer'} checkpoint (src/train.py:141-163) plus the rng key, so a
+    resumed run continues the exact step/rng stream."""
+    model = dict(vars_t_extra)
+    model["params"] = trans_params
+    return {
+        "model": model,
+        "opt_state": opt_state,
+        "rng": key,
+        "meta": {"epoch": np.int32(epoch), "best": np.float32(best)},
+    }
+
+
 def main(cfg) -> float:
     from ..parallel.mesh import distributed_init
     from ..utils.logging import get_logger, log_to
@@ -58,12 +73,23 @@ def main(cfg) -> float:
 
     vars_b = init_backbone(cfg, engine)
     vars_t = init_cwt(cfg, engine)
+    resume_full = False
     if cfg.get("resume_ckpt"):
         from ..utils.ckpt import load_ckpt
         import numpy as _np
 
         print(f"=> resuming transformer from {cfg.resume_ckpt}")
-        vars_t = load_ckpt(cfg.resume_ckpt, like=jax.tree.map(_np.asarray, vars_t))
+        # full-train-state checkpoints (train_state.ckpt) carry model +
+        # optimizer + epoch + rng, like the reference's
+        # {'epoch','state_dict','optimizer'} saves (src/train.py:141-163);
+        # model-only checkpoints (best/final) restore weights alone
+        raw = load_ckpt(cfg.resume_ckpt)
+        resume_full = isinstance(raw, dict) and "opt_state" in raw
+        if resume_full:
+            vars_t = raw["model"]  # typed restore happens below with `like`
+        else:
+            vars_t = load_ckpt(cfg.resume_ckpt,
+                               like=jax.tree.map(_np.asarray, vars_t))
     trans_params = vars_t["params"]
     vars_t_extra = {k: v for k, v in vars_t.items() if k != "params"}
 
@@ -90,9 +116,27 @@ def main(cfg) -> float:
 
     key = jax.random.PRNGKey(cfg.manual_seed or 0)
     max_val_miou = 0.0
+    start_epoch = 0
+
+    if resume_full:
+        from ..utils.ckpt import load_ckpt
+
+        # typed restore against a like-tree so optax's namedtuple state and
+        # the rng key come back with their real structures/dtypes
+        like = jax.tree.map(np.asarray, _pack_train_state(
+            trans_params, vars_t_extra, opt_state, key, 0, 0.0))
+        state = load_ckpt(cfg.resume_ckpt, like=like)
+        trans_params = state["model"]["params"]
+        vars_t_extra = {k: v for k, v in state["model"].items() if k != "params"}
+        opt_state = state["opt_state"]
+        key = jax.numpy.asarray(state["rng"])
+        start_epoch = int(state["meta"]["epoch"])
+        max_val_miou = float(state["meta"]["best"])
+        print(f"=> resumed full train state at epoch {start_epoch} "
+              f"(best {max_val_miou:.3f})")
 
     print("==> Start training")
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         train_loader.set_epoch(epoch)
         it = iter(train_loader)
         loss_meter = AverageMeter()
@@ -149,6 +193,15 @@ def main(cfg) -> float:
                 path = os.path.join(save_dir, "best.ckpt")
                 print(f"Saving checkpoint to: {path}")
                 save_ckpt(path, jax.tree.map(np.asarray, vars_t_now))
+        if cfg.save_models:
+            # full resumable state every epoch (model + optimizer + epoch +
+            # rng — the reference saves optimizer state too, src/train.py:146)
+            save_ckpt(
+                os.path.join(save_dir, "train_state.ckpt"),
+                jax.tree.map(np.asarray, _pack_train_state(
+                    trans_params, vars_t_extra, opt_state, key,
+                    epoch + 1, max_val_miou)),
+            )
         print(f"=> Max_mIoU = {max_val_miou:.3f}")
 
     if cfg.save_models:

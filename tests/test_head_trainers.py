@@ -1,5 +1,7 @@
 """Smoke tests: every extension-head trainer runs end-to-end on synthetic data."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -107,3 +109,44 @@ def test_match_trainer_ignore_and_cyc_eval():
     cfg = _smoke_cfg(cyc="True", ignore="True")
     miou = main(cfg, head_type="match")
     assert np.isfinite(miou)
+
+
+@pytest.mark.slow
+def test_train_cwt_exact_resume(tmp_path):
+    """Full train-state checkpointing: 1 epoch + resume == 2 epochs straight
+    (model, optimizer momentum, epoch counter and rng stream all restored —
+    the reference saves {'epoch','state_dict','optimizer'}, src/train.py:146)."""
+    from few_shot_seg_cwt_tpu.train.common import trans_ckpt_dir
+    from few_shot_seg_cwt_tpu.train.train_cwt import main
+    from few_shot_seg_cwt_tpu.utils.ckpt import load_ckpt
+
+    def run(epochs, resume=None, tag="a"):
+        cfg = _smoke_cfg(save_models=True, epochs=epochs)
+        cfg.model_dir = str(tmp_path / f"ckpt_{tag}")
+        cfg.debug = False
+        cfg.iter_per_epoch = 6
+        cfg.episode_batch = 2
+        if resume:
+            cfg.resume_ckpt = resume
+        main(cfg)
+        return trans_ckpt_dir(cfg)
+
+    # straight 2-epoch run
+    dir_a = run(2, tag="a")
+    final_a = load_ckpt(os.path.join(dir_a, "final.ckpt"))
+
+    # 1 epoch, then resume from the full train state for epoch 2
+    dir_b = run(1, tag="b")
+    state_path = os.path.join(dir_b, "train_state.ckpt")
+    assert os.path.exists(state_path)
+    dir_b2 = run(2, resume=state_path, tag="b")
+    final_b = load_ckpt(os.path.join(dir_b2, "final.ckpt"))
+
+    flat_a = jax.tree_util.tree_leaves(final_a)
+    flat_b = jax.tree_util.tree_leaves(final_b)
+    assert len(flat_a) == len(flat_b)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=1e-6, atol=1e-7)
+
+
