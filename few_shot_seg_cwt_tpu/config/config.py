@@ -180,7 +180,9 @@ _DEFAULTS: Dict[str, Any] = {
     "compute_dtype": "float32",  # 'float32' | 'bfloat16'
     "bf16_stages": None,       # mixed policy: 'all' or e.g. 'stem,layer1,layer2'
     "profile_dir": None,       # jax.profiler trace output directory
-    "resume_ckpt": None,       # orbax checkpoint to resume trainables from
+    "resume_ckpt": None,       # orbax ckpt: full train_state (exact resume) or weights
+    "auto_resume": False,      # pick up this run's own train_state.ckpt if present
+    "stop_after_epochs": None, # preemption drill: exit after N epochs this run
     "param_dtype": "float32",
 }
 

@@ -33,6 +33,18 @@ def apply_debug(cfg) -> None:
         cfg.save_models = False
 
 
+def maybe_auto_resume(cfg, sv_path: str) -> None:
+    """``auto_resume``: pick up this run's own ``train_state.ckpt`` when one
+    exists, so a preempted job restarted with the identical command continues
+    mid-training without operator intervention (the reference's recovery
+    story is a manual restart from best.pth, SURVEY §5.3/4)."""
+    if cfg.get("auto_resume") and not cfg.get("resume_ckpt"):
+        cand = os.path.join(sv_path, "train_state.ckpt")
+        if os.path.exists(cand):
+            cfg.resume_ckpt = os.path.abspath(cand)
+            print(f"=> auto_resume: found {cfg.resume_ckpt}")
+
+
 def maybe_mesh(cfg):
     """Build a data mesh when >1 device is usable for the episode batch.
 

@@ -172,7 +172,7 @@ def standard_validate(cfg, eval_batch, params, batch_stats, loader, log=print,
 def main(cfg) -> float:
     from ..parallel.mesh import distributed_init
 
-    from ..utils.logging import get_logger
+    from ..utils.logging import get_logger, log_to
 
     distributed_init(cfg)  # MUST precede any jax call on multi-host runs
     print = get_logger()  # noqa: A001 — process-0-gated on multi-host
@@ -247,6 +247,7 @@ def main(cfg) -> float:
         f"split{cfg.train_split}_shot{cfg.shot}/{cfg.exp_name}",
     )
     os.makedirs(sv_path, exist_ok=True)
+    log_to(sv_path)
     from ..utils.tb import SummaryWriter
 
     writer = SummaryWriter(os.path.join(sv_path, "model"))
@@ -271,8 +272,41 @@ def main(cfg) -> float:
 
     key = jax.random.PRNGKey(cfg.manual_seed or 0)
     max_val_miou = 0.0
+    start_epoch = 0
+
+    from .common import maybe_auto_resume
+
+    maybe_auto_resume(cfg, sv_path)
+    if cfg.get("resume_ckpt"):
+        # full train-state resume: model + BN stats + optimizer (incl. the
+        # per-iter cosine position) + epoch + rng (reference saves
+        # {'epoch','state_dict','optimizer'}, src/pretrain.py:148-160)
+        from ..utils.ckpt import is_full_train_state, pack_train_state, restore_train_state
+
+        if is_full_train_state(str(cfg.resume_ckpt)):
+            like = pack_train_state(
+                {"params": params, "batch_stats": batch_stats},
+                opt_state, key, 0, 0.0,
+            )
+            state = restore_train_state(str(cfg.resume_ckpt), like)
+            params = state["model"]["params"]
+            batch_stats = state["model"]["batch_stats"]
+            opt_state = state["opt_state"]
+            key = jax.numpy.asarray(state["rng"])
+            start_epoch = int(state["meta"]["epoch"])
+            max_val_miou = float(state["meta"]["best"])
+            print(f"=> resumed full pretrain state at epoch {start_epoch} "
+                  f"(best {max_val_miou:.3f})")
+        else:
+            from ..utils.ckpt import load_ckpt
+
+            restored = load_ckpt(str(cfg.resume_ckpt), like=jax.tree.map(
+                np.asarray, {"params": params, "batch_stats": batch_stats}))
+            params, batch_stats = restored["params"], restored["batch_stats"]
+            print(f"=> resumed pretrain weights from {cfg.resume_ckpt}")
+
     print("==> Start training")
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         train_loader.set_epoch(epoch)
         loss_meter = AverageMeter()
         t0 = time.time()
@@ -327,6 +361,19 @@ def main(cfg) -> float:
                 save_ckpt(path, jax.tree.map(
                     np.asarray, {"params": params, "batch_stats": batch_stats}
                 ))
+        if cfg.save_models:
+            # full resumable state every epoch (the long stage-1 runs are the
+            # ones that need preemption recovery most)
+            from ..utils.ckpt import pack_train_state
+
+            save_ckpt(os.path.join(sv_path, "train_state.ckpt"), jax.tree.map(
+                np.asarray, pack_train_state(
+                    {"params": params, "batch_stats": batch_stats},
+                    opt_state, key, epoch + 1, max_val_miou)))
+        stop_after = cfg.get("stop_after_epochs")
+        if stop_after and epoch - start_epoch + 1 >= int(stop_after):
+            print(f"=> stop_after_epochs={stop_after}: exiting after epoch {epoch}")
+            break
 
     if cfg.save_models:
         save_ckpt(os.path.join(sv_path, "final.ckpt"), jax.tree.map(

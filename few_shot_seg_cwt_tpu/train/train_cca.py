@@ -24,7 +24,14 @@ from ..episodic.cca import CCAEngine, adaptive_relabel_batch, make_base_preds_fn
 from ..parallel.mesh import shard_batch, to_host
 from ..utils.ckpt import save_ckpt
 from ..utils.meters import AverageMeter
-from .common import apply_debug, episodic_loaders, init_backbone, maybe_mesh, set_seeds
+from .common import (
+    apply_debug,
+    episodic_loaders,
+    init_backbone,
+    maybe_auto_resume,
+    maybe_mesh,
+    set_seeds,
+)
 from .optim import build_optimizer
 from .train_head import EP_KEYS, init_head_trainables
 
@@ -32,7 +39,7 @@ from .train_head import EP_KEYS, init_head_trainables
 def main(cfg, adaptive: bool = False) -> float:
     from ..parallel.mesh import distributed_init
 
-    from ..utils.logging import get_logger
+    from ..utils.logging import get_logger, log_to
 
     distributed_init(cfg)  # MUST precede any jax call on multi-host runs
     print = get_logger()  # noqa: A001 — process-0-gated on multi-host
@@ -47,7 +54,6 @@ def main(cfg, adaptive: bool = False) -> float:
     vars_b = init_backbone(cfg, engine, skip_classifier=False)
     trainables = init_head_trainables(cfg, engine, vars_b)
     base_preds_fn = make_base_preds_fn(cfg, engine) if adaptive else None
-    relabel_rng = np.random.default_rng(cfg.manual_seed or 0)
 
     optimizer = build_optimizer(
         cfg, base_lr=cfg.trans_lr * cfg.scale_lr,
@@ -63,15 +69,45 @@ def main(cfg, adaptive: bool = False) -> float:
         f"split{cfg.train_split}_shot{cfg.shot}/{cfg.exp_name}",
     )
     os.makedirs(sv_path, exist_ok=True)
+    log_to(sv_path)
 
     steps_per_epoch = 5 if cfg.debug else max(
         1, min(cfg.iter_per_epoch, len(train_loader.dataset)) // cfg.episode_batch
     )
     key = jax.random.PRNGKey(cfg.manual_seed or 0)
     best = 0.0
+    start_epoch = 1
+
+    maybe_auto_resume(cfg, sv_path)
+    if cfg.get("resume_ckpt"):
+        # full train-state resume (model + optimizer + epoch + rng) or plain
+        # head weights — same protocol as train_head/train_cwt
+        from ..utils.ckpt import (
+            is_full_train_state,
+            load_ckpt,
+            pack_train_state,
+            restore_train_state,
+        )
+
+        if is_full_train_state(str(cfg.resume_ckpt)):
+            like = pack_train_state({"params": trainables}, opt_state, key, 0, 0.0)
+            state = restore_train_state(str(cfg.resume_ckpt), like)
+            trainables = state["model"]["params"]
+            opt_state = state["opt_state"]
+            key = jax.numpy.asarray(state["rng"])
+            start_epoch = int(state["meta"]["epoch"]) + 1
+            best = float(state["meta"]["best"])
+            print(f"=> resumed full cca train state after epoch {start_epoch - 1} "
+                  f"(best {best:.3f})")
+        else:
+            trainables = load_ckpt(
+                str(cfg.resume_ckpt), like=jax.tree.map(np.asarray, trainables))
+            print(f"=> resumed cca weights from {cfg.resume_ckpt}")
 
     print(f"==> Start training cca{'1' if adaptive else ''}")
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
+        # per-epoch stream so the adaptive relabel noise is resume-exact
+        relabel_rng = np.random.default_rng([cfg.manual_seed or 0, epoch])
         train_loader.set_epoch(epoch)
         it = iter(train_loader)
         loss_meter = AverageMeter()
@@ -137,6 +173,16 @@ def main(cfg, adaptive: bool = False) -> float:
                 save_ckpt(os.path.join(sv_path, "best.ckpt"),
                           jax.tree.map(np.asarray, trainables))
         print(f"=> best mIoU {best:.3f}")
+        if cfg.save_models:
+            from ..utils.ckpt import pack_train_state
+
+            save_ckpt(os.path.join(sv_path, "train_state.ckpt"), jax.tree.map(
+                np.asarray, pack_train_state(
+                    {"params": trainables}, opt_state, key, epoch, best)))
+        stop_after = cfg.get("stop_after_epochs")
+        if stop_after and epoch - start_epoch + 1 >= int(stop_after):
+            print(f"=> stop_after_epochs={stop_after}: exiting after epoch {epoch}")
+            break
     return best
 
 

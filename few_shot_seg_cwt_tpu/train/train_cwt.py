@@ -36,6 +36,7 @@ from .common import (
     episodic_loaders,
     init_backbone,
     init_cwt,
+    maybe_auto_resume,
     maybe_mesh,
     set_seeds,
     trans_ckpt_dir,
@@ -45,17 +46,11 @@ from .optim import build_optimizer
 
 def _pack_train_state(trans_params, vars_t_extra, opt_state, key,
                       epoch: int, best: float):
-    """Full resumable train state — the reference's {'epoch','state_dict',
-    'optimizer'} checkpoint (src/train.py:141-163) plus the rng key, so a
-    resumed run continues the exact step/rng stream."""
+    from ..utils.ckpt import pack_train_state
+
     model = dict(vars_t_extra)
     model["params"] = trans_params
-    return {
-        "model": model,
-        "opt_state": opt_state,
-        "rng": key,
-        "meta": {"epoch": np.int32(epoch), "best": np.float32(best)},
-    }
+    return pack_train_state(model, opt_state, key, epoch, best)
 
 
 def main(cfg) -> float:
@@ -74,6 +69,7 @@ def main(cfg) -> float:
     vars_b = init_backbone(cfg, engine)
     vars_t = init_cwt(cfg, engine)
     resume_full = False
+    maybe_auto_resume(cfg, trans_ckpt_dir(cfg))
     if cfg.get("resume_ckpt"):
         from ..utils.ckpt import load_ckpt
         import numpy as _np
@@ -108,6 +104,8 @@ def main(cfg) -> float:
     if cfg.save_models:
         os.makedirs(save_dir, exist_ok=True)
         log_to(save_dir)
+    else:
+        log_to(None)  # don't inherit a previous run's tee destination
 
     iter_per_epoch = 5 * cfg.episode_batch if cfg.debug else min(
         cfg.iter_per_epoch, len(train_loader.dataset)
@@ -203,6 +201,10 @@ def main(cfg) -> float:
                     epoch + 1, max_val_miou)),
             )
         print(f"=> Max_mIoU = {max_val_miou:.3f}")
+        stop_after = cfg.get("stop_after_epochs")
+        if stop_after and epoch - start_epoch + 1 >= int(stop_after):
+            print(f"=> stop_after_epochs={stop_after}: exiting after epoch {epoch}")
+            break
 
     if cfg.save_models:
         vars_t_now = dict(vars_t_extra)

@@ -37,6 +37,7 @@ from .common import (
     apply_debug,
     episodic_loaders,
     init_backbone,
+    maybe_auto_resume,
     maybe_mesh,
     set_seeds,
 )
@@ -199,9 +200,39 @@ def main(cfg, head_type: Optional[str] = None) -> float:
     )
     key = jax.random.PRNGKey(cfg.manual_seed or 0)
     best, best1 = 0.0, 0.0
+    start_epoch = 1
+
+    maybe_auto_resume(cfg, sv_path)
+    if cfg.get("resume_ckpt"):
+        # full train-state resume (model + optimizer + epoch + rng — the
+        # reference saves {'epoch','state_dict','optimizer'},
+        # src/train_trans.py:202-215) or plain head weights
+        from ..utils.ckpt import (
+            is_full_train_state,
+            load_ckpt,
+            pack_train_state,
+            restore_train_state,
+        )
+
+        if is_full_train_state(str(cfg.resume_ckpt)):
+            like = pack_train_state(
+                {"params": trainables}, opt_state, key, 0, 0.0, best1=0.0)
+            state = restore_train_state(str(cfg.resume_ckpt), like)
+            trainables = state["model"]["params"]
+            opt_state = state["opt_state"]
+            key = jax.numpy.asarray(state["rng"])
+            start_epoch = int(state["meta"]["epoch"]) + 1
+            best = float(state["meta"]["best"])
+            best1 = float(state["meta"]["best1"])
+            print(f"=> resumed full head train state after epoch {start_epoch - 1} "
+                  f"(best {best:.3f} best1 {best1:.3f})")
+        else:
+            trainables = load_ckpt(
+                str(cfg.resume_ckpt), like=jax.tree.map(np.asarray, trainables))
+            print(f"=> resumed head weights from {cfg.resume_ckpt}")
 
     print(f"==> Start training head '{head_type}'")
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         train_loader.set_epoch(epoch)
         it = iter(train_loader)
         loss_meter = AverageMeter()
@@ -246,6 +277,17 @@ def main(cfg, head_type: Optional[str] = None) -> float:
                 save_ckpt(os.path.join(sv_path, "best1.ckpt"),
                           jax.tree.map(np.asarray, trainables))
         print(f"=> best mIoU {best:.3f} best mIoU1 {best1:.3f}")
+        if cfg.save_models:
+            from ..utils.ckpt import pack_train_state
+
+            save_ckpt(os.path.join(sv_path, "train_state.ckpt"), jax.tree.map(
+                np.asarray, pack_train_state(
+                    {"params": trainables}, opt_state, key, epoch, best,
+                    best1=best1)))
+        stop_after = cfg.get("stop_after_epochs")
+        if stop_after and epoch - start_epoch + 1 >= int(stop_after):
+            print(f"=> stop_after_epochs={stop_after}: exiting after epoch {epoch}")
+            break
 
     if cfg.save_models:
         save_ckpt(os.path.join(sv_path, "final.ckpt"),

@@ -297,3 +297,43 @@ def load_ckpt(path: str, like: Optional[Any] = None) -> Any:
     if like is not None:
         return ckptr.restore(path, target=like)
     return ckptr.restore(path)
+
+
+# ---------------------------------------------------------------------------
+# Full resumable train state (reference: {'epoch','state_dict','optimizer'}
+# checkpoints, src/train.py:141-163 / src/pretrain.py:148-160 — plus the rng
+# key so a resumed run continues the exact step stream)
+# ---------------------------------------------------------------------------
+
+def pack_train_state(model: Any, opt_state: Any, rng: Any,
+                     epoch: int, best: float, **extra_meta: float) -> Dict[str, Any]:
+    import numpy as _np
+
+    meta = {"epoch": _np.int32(epoch), "best": _np.float32(best)}
+    for k, v in extra_meta.items():
+        meta[k] = _np.float32(v)
+    return {
+        "model": model,
+        "opt_state": opt_state,
+        "rng": rng,
+        "meta": meta,
+    }
+
+
+def is_full_train_state(path: str) -> bool:
+    """Does this checkpoint carry optimizer state (vs model weights only)?"""
+    try:
+        raw = load_ckpt(path)
+    except Exception:
+        return False
+    return isinstance(raw, dict) and "opt_state" in raw
+
+
+def restore_train_state(path: str, like_state: Dict[str, Any]) -> Dict[str, Any]:
+    """Typed restore of a pack_train_state checkpoint (optax namedtuples and
+    the rng key come back with their real structures)."""
+    import jax
+    import numpy as _np
+
+    like = jax.tree.map(_np.asarray, like_state)
+    return load_ckpt(path, like=like)

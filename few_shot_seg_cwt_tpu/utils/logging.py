@@ -9,11 +9,15 @@ _log_path: Optional[str] = None
 
 
 def log_to(path: Optional[str]) -> None:
-    """Set (or clear) the directory that receives log.txt appends."""
+    """Set (or clear) the directory that receives log.txt appends.
+
+    Stored absolute so the tee survives a later working-directory change
+    (the registered path outlives the trainer call that set it).
+    """
     global _log_path
-    _log_path = path
+    _log_path = os.path.abspath(path) if path is not None else None
     if path is not None:
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(_log_path, exist_ok=True)
 
 
 def get_logger():

@@ -150,3 +150,81 @@ def test_train_cwt_exact_resume(tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+def _assert_trees_equal(a, b, rtol=1e-6, atol=1e-7):
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.mark.slow
+def test_head_trainer_exact_resume(tmp_path, monkeypatch):
+    """Head-trainer full-state resume: 1 epoch + resume == 2 epochs straight
+    (head params, optimizer momentum, best/best1 trackers, epoch, rng)."""
+    from few_shot_seg_cwt_tpu.train.train_head import main
+    from few_shot_seg_cwt_tpu.utils.ckpt import load_ckpt
+
+    base_cfg = _smoke_cfg(save_models=True, epochs=2)
+    monkeypatch.chdir(tmp_path)
+
+    def run(exp, auto=False, stop_after=None):
+        # epochs stays 2 in every leg: a shorter run is a preemption
+        # (stop_after_epochs), not a smaller cfg.epochs
+        cfg = base_cfg.clone()
+        cfg.debug = False
+        cfg.exp_name = exp
+        cfg.stop_after_epochs = stop_after
+        cfg.auto_resume = auto
+        main(cfg, head_type="mmn")
+        return (f"./results/mmn_{cfg.train_name}/{cfg.arch}{cfg.layers}/"
+                f"split{cfg.train_split}_shot{cfg.shot}/{exp}")
+
+    dir_a = run("a")
+    state_a = load_ckpt(os.path.abspath(os.path.join(dir_a, "train_state.ckpt")))
+
+    dir_b = run("b", stop_after=1)  # "preempted" after epoch 1
+    state_path = os.path.abspath(os.path.join(dir_b, "train_state.ckpt"))
+    assert os.path.exists(state_path)
+    # identical relaunch with auto_resume picks the state up by itself
+    dir_b2 = run("b", auto=True)
+    state_b = load_ckpt(os.path.abspath(os.path.join(dir_b2, "train_state.ckpt")))
+
+    _assert_trees_equal(state_a, state_b)
+
+
+@pytest.mark.slow
+def test_cca1_trainer_exact_resume(tmp_path, monkeypatch):
+    """Adaptive-CCA full-state resume, covering the per-epoch host relabel
+    rng stream (resume-exact by construction)."""
+    from few_shot_seg_cwt_tpu.train.train_cca1 import main
+    from few_shot_seg_cwt_tpu.utils.ckpt import load_ckpt
+
+    base_cfg = _smoke_cfg(save_models=True, epochs=2, num_classes_tr=17,
+                          loss_type="'wt_dc'")
+    monkeypatch.chdir(tmp_path)
+
+    def run(exp, resume=None, stop_after=None):
+        cfg = base_cfg.clone()
+        cfg.debug = False
+        cfg.exp_name = exp
+        cfg.stop_after_epochs = stop_after
+        if resume:
+            cfg.resume_ckpt = resume
+        main(cfg)
+        return (f"./results/cca1_{cfg.train_name}/{cfg.arch}{cfg.layers}/"
+                f"split{cfg.train_split}_shot{cfg.shot}/{exp}")
+
+    dir_a = run("a")
+    state_a = load_ckpt(os.path.abspath(os.path.join(dir_a, "train_state.ckpt")))
+
+    dir_b = run("b", stop_after=1)
+    state_path = os.path.abspath(os.path.join(dir_b, "train_state.ckpt"))
+    assert os.path.exists(state_path)
+    dir_b2 = run("b", resume=state_path)
+    state_b = load_ckpt(os.path.abspath(os.path.join(dir_b2, "train_state.ckpt")))
+
+    _assert_trees_equal(state_a, state_b)
+
+
