@@ -230,6 +230,27 @@ class EpisodicEngine:
             result["pred_lab"] = jnp.argmax(out["pred_q"], -1).astype(jnp.int32)
         return result
 
+    def serve_episode(self, vars_b, vars_t, episode, rng) -> jnp.ndarray:
+        """Label-free inference: episode -> (H, W) int32 query mask.
+
+        The serving surface (no q_label, no metrics): inner loop + CWT weight
+        transform + align-corners upsample + argmax at image resolution —
+        what a deployed predictor returns (reference's prediction tail,
+        src/test.py:200-223, without the scoring). Used by
+        tools/export_serve to build the AOT artifact.
+        """
+        w0 = init_classifier_weights(rng, self.num_classes, self.bottleneck_dim)
+        f_q, w = self._adapted_episode(vars_b, episode, w0)
+        f_qn = l2_normalize_channels(f_q)
+        w_upd = self.cwt.apply(vars_t, w[None], f_qn, f_qn, deterministic=True)[0]
+        pred_q = apply_classifier(w_upd, f_qn)[0]
+        size = episode["q_img"].shape[-3:-1]
+        if self.num_classes == 2:
+            d = self._upsampled_diff(pred_q, size)
+            return (d > 0).astype(jnp.int32)
+        logits = upsample_bilinear_ac(pred_q[None].astype(jnp.float32), size)[0]
+        return jnp.argmax(logits, -1).astype(jnp.int32)
+
     def eval_episode_metrics_no_cwt(self, vars_b, episode, rng) -> Dict[str, jnp.ndarray]:
         """Inner loop + raw-classifier metrics only — no transformer.
 
@@ -274,6 +295,12 @@ class EpisodicEngine:
     def eval_batch(self):
         """jit(vmap(eval_episode)): (vars_b, vars_t, batch, rngs(E,)) -> preds."""
         fn = jax.vmap(self.eval_episode, in_axes=(None, None, 0, 0))
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def serve_batch(self):
+        """jit(vmap(serve_episode)): batched label-free mask prediction."""
+        fn = jax.vmap(self.serve_episode, in_axes=(None, None, 0, 0))
         return jax.jit(fn)
 
     def make_train_step(self, optimizer: optax.GradientTransformation,

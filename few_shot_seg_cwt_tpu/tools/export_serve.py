@@ -1,0 +1,108 @@
+"""AOT export of the CWT serving program as a self-contained artifact.
+
+``jax.export`` serializes the full episodic predictor — frozen backbone,
+``adapt_iter`` inner-loop classifier adaptation, CWT weight transform,
+align-corners upsample, argmax — to portable StableHLO with **all weights
+baked in as constants**. A serving host can then run episodes with nothing
+but jax installed (no model code, no checkpoints):
+
+    import jax.export, pathlib
+    ex = jax.export.deserialize(pathlib.Path("cwt_serve.jaxexport").read_bytes())
+    masks = ex.call(batch, rngs)        # (E, H, W) int32 query masks
+
+where ``batch = {"s_img": (E, shot, H, W, 3) f32, "s_label": (E, shot, H, W)
+i32, "q_img": (E, H, W, 3) f32}`` (normalized images, {0,1,255} support
+masks) and ``rngs = jax.vmap(jax.random.PRNGKey)(seeds)`` seeds the
+classifier init. This is the deployment form of the reference's inference
+surface (src/test.py:103-254) minus the scoring.
+
+CLI:
+
+    python -m few_shot_seg_cwt_tpu.tools.export_serve \
+        --config configs/pascal.yaml --out cwt_serve.jaxexport \
+        [--batch 8] [--opts resume_weights best.pth ckpt_used best ...]
+
+Weights resolve exactly as in ``train.test`` (``resume_weights`` .pth /
+directory schema, ``ckpt_used`` transformer ckpt, random-init fallback for
+plumbing runs). The artifact is lowered for the platform the exporting host
+runs (``jax.default_backend()``): export on the TPU host to capture the
+VMEM-resident Pallas inner loop; a CPU export uses the XLA-scan fallback and
+runs anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def build_serve_export(cfg, vars_b, vars_t, batch: int):
+    """Close the serve program over concrete weights and export it."""
+    import jax.export
+
+    from ..episodic.engine import EpisodicEngine
+
+    engine = EpisodicEngine(cfg)
+
+    def serve(episodes, rngs):
+        return jax.vmap(engine.serve_episode, in_axes=(None, None, 0, 0))(
+            vars_b, vars_t, episodes, rngs
+        )
+
+    size = int(cfg.image_size)
+    shot = int(cfg.shot)
+    specs = {
+        "s_img": jax.ShapeDtypeStruct((batch, shot, size, size, 3), jnp.float32),
+        "s_label": jax.ShapeDtypeStruct((batch, shot, size, size), jnp.int32),
+        "q_img": jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32),
+    }
+    rng_spec = jax.ShapeDtypeStruct((batch, 2), jnp.uint32)
+    return jax.export.export(jax.jit(serve))(specs, rng_spec)
+
+
+def export_to_file(cfg, out_path: str, batch: int) -> dict:
+    """Load eval weights per the test-entry rules, export, write the blob."""
+    from ..episodic.engine import EpisodicEngine
+    from ..train.test import load_eval_weights
+
+    engine = EpisodicEngine(cfg)
+    vars_b, vars_t = load_eval_weights(cfg, engine)
+    exported = build_serve_export(cfg, vars_b, vars_t, batch)
+    blob = exported.serialize()
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    info = {
+        "path": os.path.abspath(out_path),
+        "bytes": len(blob),
+        "platforms": list(exported.platforms),
+        "batch": batch,
+        "shot": int(cfg.shot),
+        "image_size": int(cfg.image_size),
+    }
+    return info
+
+
+def main(argv=None) -> dict:
+    from ..config import load_cfg, merge_cfg_from_list
+
+    p = argparse.ArgumentParser(description="Export the CWT serving program")
+    p.add_argument("--config", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=8,
+                   help="episodes per serving call (static)")
+    p.add_argument("--opts", nargs=argparse.REMAINDER, default=[])
+    args = p.parse_args(argv)
+
+    cfg = load_cfg(args.config)
+    if args.opts:
+        cfg = merge_cfg_from_list(cfg, args.opts)
+    info = export_to_file(cfg, args.out, args.batch)
+    print(info)
+    return info
+
+
+if __name__ == "__main__":
+    main()

@@ -55,19 +55,15 @@ def load_transformer(cfg, engine, vars_t_init):
     return vars_t_init
 
 
-def main(cfg) -> float:
-    from ..parallel.mesh import distributed_init
+def load_eval_weights(cfg, engine):
+    """Backbone + transformer variables for evaluation/serving.
 
-    distributed_init(cfg)  # MUST precede any jax call on multi-host runs
-    set_seeds(cfg)
-    apply_debug(cfg)
-
-    # test-time resume_weights may point directly at a .pth file (scripts/test.sh)
-    engine = EpisodicEngine(cfg)
-    mesh = maybe_mesh(cfg)
-
+    test-time ``resume_weights`` may point directly at a .pth file
+    (scripts/test.sh); otherwise the stage-1 directory schema applies. The
+    transformer loads via ``ckpt_used`` (orbax or reference .pth) with a
+    random-init fallback (src/test.py:54-91).
+    """
     if cfg.resume_weights and os.path.isfile(str(cfg.resume_weights)):
-        probe_cfg = cfg
         vars_b = init_backbone(
             type(cfg)({**cfg, "resume_weights": None}), engine
         )
@@ -82,6 +78,19 @@ def main(cfg) -> float:
         vars_b = init_backbone(cfg, engine)
 
     vars_t = load_transformer(cfg, engine, init_cwt(cfg, engine))
+    return vars_b, vars_t
+
+
+def main(cfg) -> float:
+    from ..parallel.mesh import distributed_init
+
+    distributed_init(cfg)  # MUST precede any jax call on multi-host runs
+    set_seeds(cfg)
+    apply_debug(cfg)
+
+    engine = EpisodicEngine(cfg)
+    mesh = maybe_mesh(cfg)
+    vars_b, vars_t = load_eval_weights(cfg, engine)
 
     val_loader = episodic_val_loader(cfg)
     miou, loss = validate_transformer(cfg, engine, vars_b, vars_t, val_loader, mesh=mesh)
