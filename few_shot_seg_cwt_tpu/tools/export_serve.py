@@ -20,7 +20,11 @@ CLI:
 
     python -m few_shot_seg_cwt_tpu.tools.export_serve \
         --config configs/pascal.yaml --out cwt_serve.jaxexport \
-        [--batch 8] [--opts resume_weights best.pth ckpt_used best ...]
+        [--batch 8] [--mesh N] [--opts resume_weights best.pth ckpt_used best ...]
+
+``--mesh N`` exports the program data-parallel over an N-device mesh
+(episodes sharded on the batch axis, weights replicated); the artifact then
+requires exactly N devices at serving time.
 
 Weights resolve exactly as in ``train.test`` (``resume_weights`` .pth /
 directory schema, ``ckpt_used`` transformer ckpt, random-init fallback for
@@ -39,8 +43,15 @@ import jax
 import jax.numpy as jnp
 
 
-def build_serve_export(cfg, vars_b, vars_t, batch: int):
-    """Close the serve program over concrete weights and export it."""
+def build_serve_export(cfg, vars_b, vars_t, batch: int, mesh=None):
+    """Close the serve program over concrete weights and export it.
+
+    With ``mesh`` (a 1-axis ``jax.sharding.Mesh``), the exported program is
+    data-parallel over the mesh's devices: the episode/rng batch axes carry
+    ``NamedSharding(P("data"))``, weights replicate, and the artifact records
+    the device count — the serving host calls it with inputs sharded the same
+    way and each chip predicts its shard's episodes (the serving analog of
+    parallel.mesh's training DP)."""
     import jax.export
 
     from ..episodic.engine import EpisodicEngine
@@ -60,17 +71,38 @@ def build_serve_export(cfg, vars_b, vars_t, batch: int):
         "q_img": jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32),
     }
     rng_spec = jax.ShapeDtypeStruct((batch, 2), jnp.uint32)
-    return jax.export.export(jax.jit(serve))(specs, rng_spec)
+    if mesh is None:
+        fn = jax.jit(serve)
+    else:
+        from ..parallel.mesh import data_sharding
+
+        n = mesh.size
+        if batch % n:
+            raise ValueError(f"--batch {batch} must be divisible by mesh size {n}")
+        fn = jax.jit(
+            serve,
+            in_shardings=(
+                {k: data_sharding(mesh, v.ndim) for k, v in specs.items()},
+                data_sharding(mesh, 2),
+            ),
+            out_shardings=data_sharding(mesh, 3),
+        )
+    return jax.export.export(fn)(specs, rng_spec)
 
 
-def export_to_file(cfg, out_path: str, batch: int) -> dict:
+def export_to_file(cfg, out_path: str, batch: int, mesh_devices: int = 0) -> dict:
     """Load eval weights per the test-entry rules, export, write the blob."""
     from ..episodic.engine import EpisodicEngine
     from ..train.test import load_eval_weights
 
     engine = EpisodicEngine(cfg)
     vars_b, vars_t = load_eval_weights(cfg, engine)
-    exported = build_serve_export(cfg, vars_b, vars_t, batch)
+    mesh = None
+    if mesh_devices:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh([mesh_devices])
+    exported = build_serve_export(cfg, vars_b, vars_t, batch, mesh=mesh)
     blob = exported.serialize()
     with open(out_path, "wb") as f:
         f.write(blob)
@@ -81,6 +113,7 @@ def export_to_file(cfg, out_path: str, batch: int) -> dict:
         "batch": batch,
         "shot": int(cfg.shot),
         "image_size": int(cfg.image_size),
+        "devices": exported.nr_devices,
     }
     return info
 
@@ -93,13 +126,16 @@ def main(argv=None) -> dict:
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=8,
                    help="episodes per serving call (static)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="export data-parallel over this many devices "
+                        "(0 = single-device artifact)")
     p.add_argument("--opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args(argv)
 
     cfg = load_cfg(args.config)
     if args.opts:
         cfg = merge_cfg_from_list(cfg, args.opts)
-    info = export_to_file(cfg, args.out, args.batch)
+    info = export_to_file(cfg, args.out, args.batch, mesh_devices=args.mesh)
     print(info)
     return info
 

@@ -59,6 +59,62 @@ def test_export_serve_roundtrip(tmp_path):
     np.testing.assert_array_equal(served, live)
 
 
+def test_export_serve_sharded(tmp_path):
+    """A --mesh export runs data-parallel over the virtual 8-device mesh and
+    matches the single-device program episode for episode."""
+    import jax
+    import jax.export
+
+    from few_shot_seg_cwt_tpu.episodic.engine import EpisodicEngine
+    from few_shot_seg_cwt_tpu.parallel.mesh import make_mesh, shard_batch
+    from few_shot_seg_cwt_tpu.tools.export_serve import build_serve_export
+    from few_shot_seg_cwt_tpu.train.common import init_backbone, init_cwt
+
+    cfg = _cfg()
+    engine = EpisodicEngine(cfg)
+    vars_b = init_backbone(cfg, engine)
+    vars_t = init_cwt(cfg, engine)
+
+    e, n_dev = 8, 4
+    mesh = make_mesh([n_dev])
+    exported = build_serve_export(cfg, vars_b, vars_t, batch=e, mesh=mesh)
+    assert exported.nr_devices == n_dev
+
+    restored = jax.export.deserialize(exported.serialize())
+    batch = _episode_batch(cfg, e=e)
+    rngs = np.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(e)])
+    sharded = shard_batch({**batch, "rngs": rngs}, mesh)
+    served = np.asarray(
+        restored.call({k: sharded[k] for k in batch}, sharded["rngs"])
+    )
+
+    live = np.asarray(engine.serve_batch(vars_b, vars_t, batch, rngs))
+    np.testing.assert_array_equal(served, live)
+
+    with pytest.raises(ValueError, match="divisible"):
+        build_serve_export(cfg, vars_b, vars_t, batch=6, mesh=mesh)
+
+
+def test_serve_episode_multiclass():
+    """num_classes>2 serving takes the generic argmax branch (CCA-style
+    multi-way classifier, reference src/model/pspnet.py:207-221)."""
+    import jax
+
+    from few_shot_seg_cwt_tpu.episodic.engine import EpisodicEngine
+    from few_shot_seg_cwt_tpu.train.common import init_backbone, init_cwt
+
+    cfg = _cfg(num_classes_tr=4)
+    engine = EpisodicEngine(cfg)
+    assert engine.num_classes == 4
+    vars_b = init_backbone(cfg, engine)
+    vars_t = init_cwt(cfg, engine)
+    batch = _episode_batch(cfg, e=2)
+    rngs = np.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(2)])
+    masks = np.asarray(engine.serve_batch(vars_b, vars_t, batch, rngs))
+    assert masks.shape == (2, cfg.image_size, cfg.image_size)
+    assert set(np.unique(masks)) <= set(range(4))
+
+
 def test_export_serve_cli(tmp_path):
     """The CLI writes a loadable artifact and reports its metadata."""
     import jax.export
