@@ -19,11 +19,13 @@ divides by that ESTIMATE — the 'baseline' field labels it as such. The
 durable perf claim is the MFU field: XLA-cost-analysis FLOPs of the compiled
 program / measured time / chip peak (bf16 peak for the device kind).
 
-Env knobs: BENCH_MODE (eval|train, default eval), BENCH_EPISODE_BATCH
-(default 32), BENCH_BATCHES (default 24), BENCH_IMAGE_SIZE (default 473),
-BENCH_DTYPE (float32|bfloat16), BENCH_SHOT (default 1). The JSON also
-carries the per-batch-rate spread (p10/p50/p90) and timed-batch count so a
-stall-heavy run is visible in the record itself.
+Env knobs: BENCH_MODE (eval|train|head|pretrain|backbone, default eval),
+BENCH_EPISODE_BATCH (default 32; head defaults 4), BENCH_BATCHES (default
+24), BENCH_IMAGE_SIZE (default 473), BENCH_DTYPE (float32|bfloat16),
+BENCH_SHOT (default 1), BENCH_HEAD (head mode, default mmn),
+BENCH_PRETRAIN_BATCH (pretrain mode, default 16). The JSON also carries the
+per-batch-rate spread (p10/p50/p90) and timed-batch count so a stall-heavy
+run is visible in the record itself.
 """
 
 from __future__ import annotations
@@ -91,7 +93,11 @@ def main() -> None:
     from few_shot_seg_cwt_tpu.train.optim import build_optimizer
 
     mode = os.environ.get("BENCH_MODE", "eval")
-    e_batch = int(os.environ.get("BENCH_EPISODE_BATCH", "32"))
+    # head mode keeps (E, 60, 60, 60, 60, 10) NeighConsensus activations
+    # alive for the backward pass (~0.5 GB/episode fp32) — default to a
+    # batch that fits v5e HBM with headroom
+    e_batch = int(os.environ.get("BENCH_EPISODE_BATCH",
+                                 "4" if mode == "head" else "32"))
     # 24 timed batches (~8s of device time at the protocol shape): with the
     # transport's transient stalls, 8 batches left the reported median
     # anywhere in a ±10% band — the r2 driver run (92.7) and the documented
@@ -137,14 +143,15 @@ def main() -> None:
     # pipeline prefetches) and give every timed call a distinct rng array so
     # the transport layer can never serve a memoized result
     episode_batches = []
-    for s in range(3):
-        host = make_episode_batch(seed=s + 1, e=e_total, size=size, shot=cfg.shot)
-        episodes = {k: host[k] for k in ("s_img", "s_label", "q_img", "q_label", "cls")}
-        if mesh is not None:
-            episodes = shard_batch(episodes, mesh)
-        else:
-            episodes = jax.device_put(episodes)
-        episode_batches.append(episodes)
+    if mode != "pretrain":  # pretrain stages plain image batches instead
+        for s in range(3):
+            host = make_episode_batch(seed=s + 1, e=e_total, size=size, shot=cfg.shot)
+            episodes = {k: host[k] for k in ("s_img", "s_label", "q_img", "q_label", "cls")}
+            if mesh is not None:
+                episodes = shard_batch(episodes, mesh)
+            else:
+                episodes = jax.device_put(episodes)
+            episode_batches.append(episodes)
 
     if mode == "backbone":
         # decomposition probe: JUST the frozen feature extractor on the same
@@ -190,6 +197,107 @@ def main() -> None:
             sync(compiled(vars_c, imgs_variants[i % 3]))
             batch_times.append(time.time() - t0)
         metric_name = f"backbone-only images/sec/chip equivalent ({dtype})"
+    elif mode == "pretrain":
+        # stage-1 supervised PSPNet training step (reference src/pretrain.py:
+        # 102-121): full backbone forward+backward with live BN stats, PPM,
+        # label-smoothed CE, two-param-group SGD — the one training workload
+        # where the whole network trains (BENCH_PRETRAIN_BATCH images/step,
+        # default 16; reference trains at batch 12/GPU). fp32 (training the
+        # backbone in bf16 needs a master-weight story the product doesn't
+        # ship); BENCH_DTYPE is ignored here.
+        from few_shot_seg_cwt_tpu.models import build_pspnet
+        from few_shot_seg_cwt_tpu.train.pretrain import (
+            make_pretrain_step, param_group_optimizer)
+
+        b = int(os.environ.get("BENCH_PRETRAIN_BATCH", "16"))
+        cfg.num_classes_tr = 16           # PASCAL-5i base classes per fold
+        cfg.compute_dtype = "float32"
+        cfg.bf16_stages = None
+        model = build_pspnet(cfg)
+        variables = jax.jit(
+            lambda: model.init({"params": jax.random.PRNGKey(0)}, probe, train=False)
+        )()
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        optimizer = param_group_optimizer(cfg, params, iters_per_epoch=1000)
+        opt_state = optimizer.init(params)
+
+        rng_np = np.random.default_rng(0)
+        imgs = [jax.device_put(rng_np.normal(size=(b, size, size, 3)).astype(np.float32))
+                for _ in range(3)]
+        gts = [jax.device_put(rng_np.integers(0, cfg.num_classes_tr,
+                                              size=(b, size, size)).astype(np.int32))
+               for _ in range(3)]
+        step = make_pretrain_step(model, optimizer, cfg)
+        step_rngs = [jax.random.PRNGKey(100 + i) for i in range(n_batches + 1)]
+
+        t_c = time.time()
+        compiled = step.lower(params, batch_stats, opt_state,
+                              imgs[0], gts[0], step_rngs[-1]).compile()
+        compile_s = time.time() - t_c
+        flops_total = _cost_flops(compiled)
+
+        params, batch_stats, opt_state, m = compiled(
+            params, batch_stats, opt_state, imgs[0], gts[0], step_rngs[-1])
+        np.asarray(m["loss"])
+
+        batch_times = []
+        for i in range(n_batches):
+            t0 = time.time()
+            params, batch_stats, opt_state, m = compiled(
+                params, batch_stats, opt_state, imgs[i % 3], gts[i % 3], step_rngs[i])
+            np.asarray(m["loss"])
+            batch_times.append(time.time() - t0)
+        e_batch = b            # per-chip unit for the MFU math below
+        e_total = b * n_chips  # rate unit: images/sec/chip
+        metric_name = f"pretrain train-step images/sec/chip (@{size}px, batch {b}, float32)"
+    elif mode == "head":
+        # extension-head meta-training step (BENCH_HEAD, default mmn): the
+        # fork's main research model — per-layer 3600x3600 correlation
+        # matmuls + center-pivot 4D convs + blended readout on top of the
+        # shared episodic prologue (reference hot path: src/train_kshot.py
+        # loss loop -> mmn.py forward -> match.py corr_forward). Hyperparams
+        # are the published pascal_mmn.yaml values.
+        from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+        from few_shot_seg_cwt_tpu.train.train_head import init_head_trainables
+
+        head = os.environ.get("BENCH_HEAD", "mmn")
+        for k, v in dict(conv4d="red", temp=20.0, att_wt=0.2,
+                         loss_type="wt_dc", rmid="l34", wa=True,
+                         proj_drop=0.5, att_drop=0.5, trans_lr=0.0015).items():
+            cfg[k] = v
+        h_engine = HeadEngine(cfg, head)
+        trainables = init_head_trainables(cfg, h_engine, vars_b)
+        optimizer = build_optimizer(cfg, base_lr=cfg.trans_lr, use_schedule=False)
+        opt_state = optimizer.init(trainables)
+        if mesh is not None:
+            trainables = replicate(trainables, mesh)
+            opt_state = replicate(opt_state, mesh)
+        step = h_engine.make_train_step(optimizer)
+        step_rngs = [jax.random.PRNGKey(100 + i) for i in range(n_batches + 1)]
+
+        t_c = time.time()
+        compiled = step.lower(
+            trainables, opt_state, vars_b, episode_batches[0], step_rngs[-1], None
+        ).compile()
+        compile_s = time.time() - t_c
+        flops_total = _cost_flops(compiled)
+
+        trainables, opt_state, m = compiled(
+            trainables, opt_state, vars_b, episode_batches[0], step_rngs[-1], None
+        )
+        np.asarray(m["loss_mean"])
+
+        batch_times = []
+        for i in range(n_batches):
+            t0 = time.time()
+            trainables, opt_state, metrics = compiled(
+                trainables, opt_state, vars_b,
+                episode_batches[i % len(episode_batches)], step_rngs[i], None,
+            )
+            np.asarray(metrics["loss_mean"])
+            batch_times.append(time.time() - t0)
+        metric_name = (f"{head}-head train-step episodes/sec/chip "
+                       f"({shot}-shot @{size}px, {dtype})")
     elif mode == "train":
         optimizer = build_optimizer(cfg, base_lr=cfg.trans_lr, use_schedule=False)
         trans_params = vars_t["params"]
@@ -300,7 +408,7 @@ def main() -> None:
     result = {
         "metric": metric_name,
         "value": round(eps_per_sec_chip, 3),
-        "unit": "episodes/sec/chip",
+        "unit": "images/sec/chip" if mode == "pretrain" else "episodes/sec/chip",
         "vs_baseline": round(eps_per_sec_chip / REF_EPISODES_PER_SEC, 2),
         "baseline": BASELINE_LABEL,
         "mfu": round(mfu, 4),

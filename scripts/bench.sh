@@ -15,6 +15,8 @@ if [ "$1" = "full" ]; then
   BENCH_MODE=train BENCH_EPISODE_BATCH=16 python bench.py
   echo "--- eval fp32 5-shot ---"
   BENCH_SHOT=5 BENCH_EPISODE_BATCH=8 python bench.py
+  echo "--- mmn-head train step fp32 ---"
+  BENCH_MODE=head python bench.py
   echo "--- bf16 A/B (same weights+episodes; see BENCH.md) ---"
   python -m few_shot_seg_cwt_tpu.eval.ab_dtype --episodes 128 --batch 16
 fi

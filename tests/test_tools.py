@@ -110,3 +110,31 @@ def test_bench_loader_tool(tmp_path):
     r = main(["--episodes", "8", "--batch", "4", "--image-size", "65",
               "--images", "8", "--workers", "0"])
     assert r["value"] > 0 and r["episodes"] == 8
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode,extra", [
+    ("head", {"BENCH_EPISODE_BATCH": "2"}),
+    ("pretrain", {"BENCH_PRETRAIN_BATCH": "2"}),
+])
+def test_bench_modes(mode, extra, monkeypatch, capsys):
+    """bench.py's auxiliary modes (extension-head / stage-1 train step)
+    compile and report a finite rate at a tiny shape."""
+    import importlib
+    import json
+
+    import bench
+
+    monkeypatch.setenv("BENCH_MODE", mode)
+    monkeypatch.setenv("BENCH_IMAGE_SIZE", "33")
+    monkeypatch.setenv("BENCH_BATCHES", "2")
+    monkeypatch.setenv("BENCH_ADAPT_ITER", "2")
+    for k, v in extra.items():
+        monkeypatch.setenv(k, v)
+    importlib.reload(bench)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(out)
+    assert result["value"] > 0 and np.isfinite(result["value"])
+    assert str(mode if mode != "head" else "mmn") in result["metric"]
+    assert result["timed_batches"] == 2
