@@ -76,12 +76,12 @@ def init_head_trainables(cfg, engine: HeadEngine, vars_b):
     parts = jax.jit(init_fn)(jax.random.PRNGKey(0))
     rng = jax.random.PRNGKey(1)
     ht = engine.head_type
-    if ht == "mmn":
-        v = engine.head.init(rng, parts["fq_feats"], parts["fs_feats"],
-                             parts["f_q"], parts["f_s"])
-    elif ht == "detr":
-        v = engine.head.init(rng, parts["fq_feats"], parts["fs_feats"],
-                             parts["f_q"], parts["f_s"])
+    # assemble the init arguments per head, then run Module.init under ONE
+    # jit: eager init dispatches hundreds of ops one by one, which is
+    # pathologically slow on a remote/high-latency device transport
+    if ht in ("mmn", "detr"):
+        init_args = (parts["fq_feats"], parts["fs_feats"],
+                     parts["f_q"], parts["f_s"])
     elif ht in ("match", "chm"):
         fq_fea, fs_fea = engine._stage_features(parts)
         if ht == "chm":
@@ -90,7 +90,7 @@ def init_head_trainables(cfg, engine: HeadEngine, vars_b):
             h = fq_fea.shape[1]
             fq_fea = upsample_bilinear_ac(fq_fea, (h // 2, h // 2))
             fs_fea = upsample_bilinear_ac(fs_fea, (h // 2, h // 2))
-        v = engine.head.init(rng, fq_fea, fs_fea, parts["f_s"])
+        init_args = (fq_fea, fs_fea, parts["f_s"])
     elif ht == "att":
         fq_fea, fs_fea = engine._stage_features(parts)
         b, h, w, dk = fq_fea.shape
@@ -99,7 +99,7 @@ def init_head_trainables(cfg, engine: HeadEngine, vars_b):
         k = fs_fea.reshape(1, shot * h * w, dk)
         vv = parts["f_s"].reshape(1, shot * h * w, -1)
         idt = parts["f_q"].reshape(1, h * w, -1)
-        v = engine.head.init(rng, k, vv, q, idt, None)
+        init_args = (k, vv, q, idt, None)
     elif ht == "fuse":
         import jax.numpy as jnp
 
@@ -108,9 +108,10 @@ def init_head_trainables(cfg, engine: HeadEngine, vars_b):
         corr = jnp.zeros((1, h, h, h, h), jnp.float32)
         s_mask = jnp.zeros((1, im, im, 1), jnp.float32)
         pd = jnp.zeros((1, h, h, 2), jnp.float32)
-        v = engine.head.init(rng, [corr, corr], s_mask, [pd, pd])
+        init_args = ([corr, corr], s_mask, [pd, pd])
     else:
         raise ValueError(ht)
+    v = jax.jit(engine.head.init)(rng, *init_args)
     return v["params"]
 
 
