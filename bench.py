@@ -61,6 +61,15 @@ def _device_peak(dev) -> float:
     return 0.0
 
 
+def _progress(msg: str) -> None:
+    """Stage marker on stderr (BENCH_QUIET=1 silences): on a remote-compile
+    transport a first-ever program can take many minutes with no client
+    output, so show where a run is instead of looking hung."""
+    if os.environ.get("BENCH_QUIET") != "1":
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+
 def _cost_flops(compiled) -> float:
     """Total FLOPs of a compiled program per XLA's cost analysis (0 if n/a)."""
     try:
@@ -152,6 +161,7 @@ def main() -> None:
             else:
                 episodes = jax.device_put(episodes)
             episode_batches.append(episodes)
+            _progress(f"staged episode batch {s+1}/3 on device")
 
     if mode == "backbone":
         # decomposition probe: JUST the frozen feature extractor on the same
@@ -231,9 +241,11 @@ def main() -> None:
         step_rngs = [jax.random.PRNGKey(100 + i) for i in range(n_batches + 1)]
 
         t_c = time.time()
+        _progress("compiling pretrain step")
         compiled = step.lower(params, batch_stats, opt_state,
                               imgs[0], gts[0], step_rngs[-1]).compile()
         compile_s = time.time() - t_c
+        _progress(f"pretrain step compiled in {compile_s:.0f}s; warming up")
         flops_total = _cost_flops(compiled)
 
         params, batch_stats, opt_state, m = compiled(
@@ -266,7 +278,9 @@ def main() -> None:
                          proj_drop=0.5, att_drop=0.5, trans_lr=0.0015).items():
             cfg[k] = v
         h_engine = HeadEngine(cfg, head)
+        _progress(f"initializing {head} head trainables (2 jitted programs)")
         trainables = init_head_trainables(cfg, h_engine, vars_b)
+        _progress("head trainables initialized")
         optimizer = build_optimizer(cfg, base_lr=cfg.trans_lr, use_schedule=False)
         opt_state = optimizer.init(trainables)
         if mesh is not None:
@@ -276,10 +290,12 @@ def main() -> None:
         step_rngs = [jax.random.PRNGKey(100 + i) for i in range(n_batches + 1)]
 
         t_c = time.time()
+        _progress("compiling head train step")
         compiled = step.lower(
             trainables, opt_state, vars_b, episode_batches[0], step_rngs[-1], None
         ).compile()
         compile_s = time.time() - t_c
+        _progress(f"head step compiled in {compile_s:.0f}s; warming up")
         flops_total = _cost_flops(compiled)
 
         trainables, opt_state, m = compiled(
@@ -312,6 +328,7 @@ def main() -> None:
         step_rngs = [jax.random.PRNGKey(100 + i) for i in range(n_batches + 1)]
 
         t_c = time.time()
+        _progress("compiling train step")
         lowered = train_step.lower(
             trans_params, opt_state, vars_t_extra, vars_b,
             episode_batches[0], step_rngs[-1],
@@ -359,6 +376,7 @@ def main() -> None:
         else:
             eval_fn = engine.eval_metrics_batch
         t_c = time.time()
+        _progress("compiling eval program")
         lowered = eval_fn.lower(
             vars_b, vars_t, episode_batches[0], rng_arrays[-1]
         )
