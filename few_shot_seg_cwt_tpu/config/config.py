@@ -179,6 +179,10 @@ _DEFAULTS: Dict[str, Any] = {
     "episode_batch": 8,        # episodes vmapped per device step (eval)
     "compute_dtype": "float32",  # 'float32' | 'bfloat16'
     "bf16_stages": None,       # mixed policy: 'all' or e.g. 'stem,layer1,layer2'
+    "remat_head": True,        # recompute head activations in backward: the
+                               # 473px corr heads' NeighConsensus intermediates
+                               # (~2 GB/episode) cannot all stay in HBM
+
     "profile_dir": None,       # jax.profiler trace output directory
     "resume_ckpt": None,       # orbax ckpt: full train_state (exact resume) or weights
     "auto_resume": False,      # pick up this run's own train_state.ckpt if present

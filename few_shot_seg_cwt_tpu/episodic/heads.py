@@ -366,13 +366,21 @@ class HeadEngine:
                            frozen_vars=None):
         rng_w, rng_head = jax.random.split(rng)
         parts = self.episode_parts(vars_b, episode, rng_w)
+        # remat (cfg.remat_head, default on): recompute the head forward
+        # during the backward pass instead of storing its activations — the
+        # corr heads' NeighConsensus intermediates are (h,w,hs,ws,10) volumes
+        # (~2 GB/episode at 473px); keeping them all alive for value_and_grad
+        # exceeds any single chip's HBM, while recompute costs ~1/3 extra
+        # FLOPs on a trainer whose wall time the backward already dominates.
+        remat = (lambda f: jax.checkpoint(f)) if self.cfg.get("remat_head", True) \
+            else (lambda f: f)
         if self.head_type == "asy":
-            loss, preds = self._loss_asy(trainables, parts, episode, rng_head)
+            loss, preds = remat(self._loss_asy)(trainables, parts, episode, rng_head)
         elif self.head_type == "fuse":
-            loss, preds = self._loss_fuse({"params": trainables}, parts, episode,
-                                          rng_head, frozen_vars)
+            loss, preds = remat(self._loss_fuse)(
+                {"params": trainables}, parts, episode, rng_head, frozen_vars)
         else:
-            loss, preds = getattr(self, f"_loss_{self.head_type}")(
+            loss, preds = remat(getattr(self, f"_loss_{self.head_type}"))(
                 {"params": trainables}, parts, episode, rng_head
             )
         metrics = {"loss": loss}
