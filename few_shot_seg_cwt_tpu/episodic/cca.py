@@ -141,10 +141,20 @@ class CCAEngine(HeadEngine):
             probs, q_label, loss_type=cfg.get("loss_type", "wt_ce"), input_type="pb"
         )
 
-        _, att_fq, att_shots = self.head.apply(
-            {"params": trainables}, parts["fq_feats"], parts["fs_feats"],
-            parts["f_q"], parts["f_s"], ret_shots=True, deterministic=det,
-            rngs=None if det else {"dropout": rng_head},
+        def head_fwd(hv, fq_feats, fs_feats, f_q, f_s, rng_h):
+            return self.head.apply(
+                {"params": hv}, fq_feats, fs_feats, f_q, f_s, ret_shots=True,
+                deterministic=det, rngs=None if det else {"dropout": rng_h},
+            )
+
+        if cfg.get("remat_head", True) and not det:
+            # same HBM bound as HeadEngine.train_episode_loss: recompute the
+            # MMN forward in the backward instead of storing its (h,w,hs,ws,10)
+            # NeighConsensus intermediates (~2 GB/episode at 473px)
+            head_fwd = jax.checkpoint(head_fwd)
+        _, att_fq, att_shots = head_fwd(
+            trainables, parts["fq_feats"], parts["fs_feats"],
+            parts["f_q"], parts["f_s"], rng_head,
         )
         fq_blend = parts["f_q"] * (1 - cfg.att_wt) + att_fq * cfg.att_wt
 
