@@ -182,6 +182,8 @@ _DEFAULTS: Dict[str, Any] = {
     "remat_head": True,        # recompute head activations in backward: the
                                # 473px corr heads' NeighConsensus intermediates
                                # (~2 GB/episode) cannot all stay in HBM
+    "head_grad_accum": True,   # head train step: accumulate per-episode grads
+                               # sequentially (exact; bounds HBM by 1 episode)
 
     "profile_dir": None,       # jax.profiler trace output directory
     "resume_ckpt": None,       # orbax ckpt: full train_state (exact resume) or weights

@@ -394,19 +394,50 @@ class HeadEngine:
         return loss, metrics
 
     def make_train_step(self, optimizer: optax.GradientTransformation):
-        def batched(trainables, vars_b, batch, rngs, frozen_vars):
-            losses, metrics = jax.vmap(
-                self.train_episode_loss, in_axes=(None, None, 0, 0, None)
-            )(trainables, vars_b, batch, rngs, frozen_vars)
-            return jnp.mean(losses), metrics
+        # Episode gradients accumulate SEQUENTIALLY (lax.scan) instead of
+        # vmapping value_and_grad over the batch: grad(mean loss) is exactly
+        # the mean of per-episode grads, and one episode's forward+backward
+        # at a time bounds HBM by the episode, not the batch — the corr
+        # heads' (h,w,hs,ws,C) volumes made a vmapped backward exceed chip
+        # memory at the 473px protocol. cfg.head_grad_accum False restores
+        # the vmapped step (fastest at tiny shapes).
+        per_ep_grad = jax.value_and_grad(self.train_episode_loss, has_aux=True)
 
-        grad_fn = jax.value_and_grad(batched, has_aux=True)
+        def grads_vmapped(trainables, vars_b, batch, rngs, frozen_vars):
+            def batched(tr, vb, b, r, fv):
+                losses, metrics = jax.vmap(
+                    self.train_episode_loss, in_axes=(None, None, 0, 0, None)
+                )(tr, vb, b, r, fv)
+                return jnp.mean(losses), metrics
+
+            (loss, metrics), grads = jax.value_and_grad(batched, has_aux=True)(
+                trainables, vars_b, batch, rngs, frozen_vars)
+            return loss, metrics, grads
+
+        def grads_scanned(trainables, vars_b, batch, rngs, frozen_vars):
+            zero_g = jax.tree.map(jnp.zeros_like, trainables)
+
+            def body(carry, xs):
+                g_acc, loss_acc = carry
+                episode, r = xs
+                (loss, metrics), g = per_ep_grad(
+                    trainables, vars_b, episode, r, frozen_vars)
+                return (jax.tree.map(jnp.add, g_acc, g), loss_acc + loss), metrics
+
+            (g_sum, loss_sum), metrics = jax.lax.scan(
+                body, (zero_g, jnp.zeros((), jnp.float32)), (batch, rngs))
+            e = rngs.shape[0]
+            grads = jax.tree.map(lambda g: g / e, g_sum)
+            return loss_sum / e, metrics, grads
+
+        grad_fn = grads_scanned if self.cfg.get("head_grad_accum", True) \
+            else grads_vmapped
 
         @functools.partial(jax.jit, static_argnames=())
         def step(trainables, opt_state, vars_b, batch, rng, frozen_vars=None):
             e = batch["q_label"].shape[0]
             rngs = jax.random.split(rng, e)
-            (loss, metrics), grads = grad_fn(trainables, vars_b, batch, rngs, frozen_vars)
+            loss, metrics, grads = grad_fn(trainables, vars_b, batch, rngs, frozen_vars)
             updates, opt_state = optimizer.update(grads, opt_state, trainables)
             trainables = optax.apply_updates(trainables, updates)
             metrics = dict(metrics)

@@ -44,13 +44,18 @@ class NeighConsensus(nn.Module):
     def setup(self):
         blocks = []
         for i, (ksz, ch) in enumerate(zip(self.kernel_sizes, self.channels)):
-            cls = CONV4D[self.conv]
+            # remat each 4D-conv block: its 10-channel (h,w,hs,ws) output and
+            # the transposed/reshaped views inside are the dominant training
+            # activations (~1 GB/episode at 60x60 features); recomputing them
+            # in the backward keeps only the block INPUTS as residuals.
+            # Forward-only use (eval/serving) is unaffected by checkpointing.
+            base = CONV4D[self.conv]
             kwargs = dict(out_channels=ch, kernel_size=(ksz,) * 4,
                           padding=(ksz // 2,) * 4, use_bias=True,
                           name=f"conv4d_{i}")
-            if cls is CenterPivotConv4d:
+            if base is CenterPivotConv4d:
                 kwargs["stride"] = (1,) * 4
-            blocks.append(cls(**kwargs))
+            blocks.append(nn.remat(base)(**kwargs))
         self.blocks = blocks
 
     def _stack(self, x: jnp.ndarray) -> jnp.ndarray:
