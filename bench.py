@@ -277,6 +277,10 @@ def main() -> None:
                          loss_type="wt_dc", rmid="l34", wa=True,
                          proj_drop=0.5, att_drop=0.5, trans_lr=0.0015).items():
             cfg[k] = v
+        # BENCH_DTYPE=bfloat16 here means the full AMP analog the published
+        # config runs (pascal_mmn.yaml use_amp: True): bf16 backbone AND
+        # bf16 head compute, f32 losses/master weights
+        cfg.use_amp = dtype == "bfloat16"
         h_engine = HeadEngine(cfg, head)
         _progress(f"initializing {head} head trainables (2 jitted programs)")
         trainables = init_head_trainables(cfg, h_engine, vars_b)

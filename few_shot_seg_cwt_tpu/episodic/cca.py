@@ -152,10 +152,23 @@ class CCAEngine(HeadEngine):
             # MMN forward in the backward instead of storing its (h,w,hs,ws,10)
             # NeighConsensus intermediates (~2 GB/episode at 473px)
             head_fwd = jax.checkpoint(head_fwd)
+        loss_train, fq_feats, fs_feats = trainables, parts["fq_feats"], parts["fs_feats"]
+        f_q_in, f_s_in = parts["f_q"], parts["f_s"]
+        if cfg.get("use_amp", False) and not det:
+            # bf16 head compute (torch autocast analog; see HeadEngine) —
+            # _up's f32 cast keeps compress_pred/losses/metrics full precision
+            amp_cast = lambda tree: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                tree,
+            )
+            loss_train, fq_feats, fs_feats, f_q_in, f_s_in = map(
+                amp_cast, (trainables, fq_feats, fs_feats, f_q_in, f_s_in))
         _, att_fq, att_shots = head_fwd(
-            trainables, parts["fq_feats"], parts["fs_feats"],
-            parts["f_q"], parts["f_s"], rng_head,
+            loss_train, fq_feats, fs_feats, f_q_in, f_s_in, rng_head,
         )
+        att_fq = att_fq.astype(jnp.float32)
+        att_shots = att_shots.astype(jnp.float32)
         fq_blend = parts["f_q"] * (1 - cfg.att_wt) + att_fq * cfg.att_wt
 
         def binary_up(feat):

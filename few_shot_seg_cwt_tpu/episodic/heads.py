@@ -137,7 +137,11 @@ class HeadEngine:
                     w=w, pd_q0=pd_q0, pd_s=pd_s, s_valid=s_valid)
 
     def _up(self, logits: jnp.ndarray) -> jnp.ndarray:
-        return upsample_bilinear_ac(logits, (self.image_size, self.image_size))
+        # f32 here is the AMP boundary: under use_amp the head convs run
+        # bf16, but upsample/softmax/CE/metrics stay f32 — the same op split
+        # torch.cuda.amp.autocast applies (interpolate and losses fp32)
+        return upsample_bilinear_ac(
+            logits.astype(jnp.float32), (self.image_size, self.image_size))
 
     def _cls_up(self, w, feat) -> jnp.ndarray:
         return self._up(apply_classifier(w, feat))
@@ -366,6 +370,22 @@ class HeadEngine:
                            frozen_vars=None):
         rng_w, rng_head = jax.random.split(rng)
         parts = self.episode_parts(vars_b, episode, rng_w)
+        # use_amp (the reference trainers' torch.cuda.amp.autocast,
+        # src/train_kshot.py:146-190): run the HEAD compute in bf16 — cast
+        # the features/classifier and the head params at the loss boundary;
+        # master weights stay f32 (grads flow back through the casts), and
+        # _up casts to f32 so losses/metrics keep full precision. bf16 needs
+        # no GradScaler (its exponent range matches f32).
+        loss_parts, loss_train, loss_frozen = parts, trainables, frozen_vars
+        if self.cfg.get("use_amp", False):
+            amp_cast = lambda tree: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                tree,
+            )
+            loss_parts = amp_cast(parts)
+            loss_train = amp_cast(trainables)
+            loss_frozen = None if frozen_vars is None else amp_cast(frozen_vars)
         # remat (cfg.remat_head, default on): recompute the head forward
         # during the backward pass instead of storing its activations — the
         # corr heads' NeighConsensus intermediates are (h,w,hs,ws,10) volumes
@@ -375,14 +395,16 @@ class HeadEngine:
         remat = (lambda f: jax.checkpoint(f)) if self.cfg.get("remat_head", True) \
             else (lambda f: f)
         if self.head_type == "asy":
-            loss, preds = remat(self._loss_asy)(trainables, parts, episode, rng_head)
+            loss, preds = remat(self._loss_asy)(
+                loss_train, loss_parts, episode, rng_head)
         elif self.head_type == "fuse":
             loss, preds = remat(self._loss_fuse)(
-                {"params": trainables}, parts, episode, rng_head, frozen_vars)
+                {"params": loss_train}, loss_parts, episode, rng_head, loss_frozen)
         else:
             loss, preds = remat(getattr(self, f"_loss_{self.head_type}"))(
-                {"params": trainables}, parts, episode, rng_head
+                {"params": loss_train}, loss_parts, episode, rng_head
             )
+        loss = loss.astype(jnp.float32)
         metrics = {"loss": loss}
         pred0 = self._up(parts["pd_q0"])[0]
         for name, p in (("0", pred0), ("1", preds["pred1"]), ("", preds["pred"])):
