@@ -1,17 +1,28 @@
-"""4D convolutions over correlation volumes, as batched NHWC 2D convs.
+"""4D convolutions over correlation volumes, transpose-free.
 
 Two flavours, mirroring the reference (reference: src/model/conv4d.py):
 
 * ``CenterPivotConv4d`` (HSNet-style, src:11-62): the 4D kernel is restricted
   to its two center-pivot planes, so the op is exactly two 2D convolutions —
-  one over the query plane (h, w) batched across support positions, one over
-  the support plane (h_s, w_s) batched across query positions — plus stride
-  pruning. This maps 1:1 onto MXU conv units.
+  one over the query plane (h, w), one over the support plane (h_s, w_s).
 * ``Conv4d`` (true 4D, src:65-138): implemented as a sum of shifted 3D
   convolutions over one kernel axis (XLA lowers 3 spatial dims natively),
   replacing the reference's Python loop over the first spatial axis.
 
 Volume layout is channels-last: (B, h, w, h_s, w_s, C).
+
+TPU notes (measured with tools/bench_head_parts.py on v5e):
+
+* the support-plane conv runs on the free row-major view
+  ``(B*h*w, h_s, w_s, C)`` — a pure reshape;
+* the query-plane conv batches over (h_s, w_s) via an explicit plane
+  transpose, which XLA absorbs into the convolution's layout assignment;
+  a "conv3d with size-1 trailing spatial dim" formulation that avoids the
+  transpose measured 2.4x SLOWER end-to-end, so it was rejected;
+* ``swap_roles=True`` applies the query kernel to the support planes and
+  vice versa, which is exactly ``swap(conv(swap(x)))`` without materializing
+  either whole-volume swap — used by NeighConsensus's symmetric mode, and
+  the layout contract the fused Pallas pivot kernel builds on.
 """
 
 from __future__ import annotations
@@ -35,8 +46,84 @@ def _uniform_bias_init(kernel_hw: int):
     return init
 
 
+class _ConvParams(nn.Module):
+    """Parameter container matching flax nn.Conv's {kernel, bias} tree.
+
+    Keeps the checkpoint/import structure identical to the previous
+    nn.Conv-based implementation while the convolution itself is applied
+    manually (lax.conv_general_dilated on reshaped views).
+    """
+
+    features: int
+    in_features: int
+    kernel_size: Tuple[int, int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", _default_kernel_init, (kh, kw, self.in_features, self.features)
+        )
+        # zeros bias = flax nn.Conv's default, which the previous nn.Conv-based
+        # implementation used; kept so fresh-init behavior is unchanged
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
+def _conv_query_planes(x: jnp.ndarray, kernel: jnp.ndarray,
+                       strides, padding) -> jnp.ndarray:
+    """Conv over dims (1, 2) of (B, h, w, hs, ws, C), batched over (hs, ws).
+
+    Measured on v5e: XLA absorbs the plane transpose into the convolution's
+    layout assignment, while the "conv3d with a size-1 trailing spatial dim"
+    formulation is 2.4x slower end-to-end (tools/bench_head_parts.py probes)
+    — so the batched-2D form with an explicit transpose is the fast one.
+    """
+    b, h, w, hs, ws, c = x.shape
+    kh, kw, ci, co = kernel.shape
+    t = x.transpose(0, 3, 4, 1, 2, 5).reshape(b * hs * ws, h, w, c)
+    dn = jax.lax.conv_dimension_numbers(
+        t.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    out = jax.lax.conv_general_dilated(
+        t, kernel, window_strides=tuple(strides),
+        padding=[(padding[0],) * 2, (padding[1],) * 2],
+        dimension_numbers=dn,
+    )
+    oh, ow = out.shape[1], out.shape[2]
+    return out.reshape(b, hs, ws, oh, ow, co).transpose(0, 3, 4, 1, 2, 5)
+
+
+def _conv_support_planes(x: jnp.ndarray, kernel: jnp.ndarray,
+                         strides, padding) -> jnp.ndarray:
+    """Conv over dims (3, 4) of (B, h, w, hs, ws, C): free batched-2D view."""
+    b, h, w, hs, ws, c = x.shape
+    kh, kw, ci, co = kernel.shape
+    dn = jax.lax.conv_dimension_numbers(
+        (b * h * w, hs, ws, c), (kh, kw, ci, co), ("NHWC", "HWIO", "NHWC")
+    )
+    out = jax.lax.conv_general_dilated(
+        x.reshape(b * h * w, hs, ws, c),
+        kernel,
+        window_strides=tuple(strides),
+        padding=[(padding[0],) * 2, (padding[1],) * 2],
+        dimension_numbers=dn,
+    )
+    ohs, ows = out.shape[1], out.shape[2]
+    return out.reshape(b, h, w, ohs, ows, co)
+
+
 class CenterPivotConv4d(nn.Module):
-    """Center-pivot 4D conv: conv over (h,w) + conv over (hs,ws)."""
+    """Center-pivot 4D conv: conv over (h,w) + conv over (hs,ws).
+
+    ``swap_roles=True`` computes ``swap_planes(self(swap_planes(x)))`` —
+    the query kernel convolves the support planes and vice versa — without
+    materializing either transpose.
+    """
 
     out_channels: int
     kernel_size: Sequence[int] = (3, 3, 3, 3)
@@ -45,40 +132,37 @@ class CenterPivotConv4d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, hs, ws, c_in = x.shape
+    def __call__(self, x: jnp.ndarray, swap_roles: bool = False) -> jnp.ndarray:
+        c_in = x.shape[-1]
         k = self.kernel_size
         s = self.stride
         p = self.padding
 
-        conv_q = nn.Conv(
-            self.out_channels, (k[0], k[1]), strides=(s[0], s[1]),
-            padding=((p[0], p[0]), (p[1], p[1])), use_bias=self.use_bias,
-            kernel_init=_default_kernel_init, name="conv_query",
-        )
-        conv_s = nn.Conv(
-            self.out_channels, (k[2], k[3]), strides=(s[2], s[3]),
-            padding=((p[2], p[2]), (p[3], p[3])), use_bias=self.use_bias,
-            kernel_init=_default_kernel_init, name="conv_support",
-        )
+        kq, bq = _ConvParams(self.out_channels, c_in, (k[0], k[1]),
+                             self.use_bias, name="conv_query")()
+        ks, bs = _ConvParams(self.out_channels, c_in, (k[2], k[3]),
+                             self.use_bias, name="conv_support")()
 
-        # branch 1: conv over the query plane; support grid pruned by stride
-        x1 = x
-        if s[2] > 1 or s[3] > 1:
-            x1 = x1[:, :, :, :: s[2], :: s[3], :]
-        hs1, ws1 = x1.shape[3], x1.shape[4]
-        t = x1.transpose(0, 3, 4, 1, 2, 5).reshape(b * hs1 * ws1, h, w, c_in)
-        t = conv_q(t)
-        oh, ow, oc = t.shape[1], t.shape[2], t.shape[3]
-        out1 = t.reshape(b, hs1, ws1, oh, ow, oc).transpose(0, 3, 4, 1, 2, 5)
+        if not swap_roles:
+            # branch 1: query-plane conv; support grid pruned by stride
+            x1 = x
+            if s[2] > 1 or s[3] > 1:
+                x1 = x1[:, :, :, :: s[2], :: s[3], :]
+            out = _conv_query_planes(x1, kq, (s[0], s[1]), (p[0], p[1]))
+            # branch 2: support-plane conv, batched over query positions
+            out = out + _conv_support_planes(x, ks, (s[2], s[3]), (p[2], p[3]))
+        else:
+            # swapped orientation: what was the "query" kernel now convolves
+            # the support planes (and prunes the query grid), and vice versa
+            x1 = x
+            if s[2] > 1 or s[3] > 1:
+                x1 = x1[:, :: s[2], :: s[3], :, :, :]
+            out = _conv_support_planes(x1, kq, (s[0], s[1]), (p[0], p[1]))
+            out = out + _conv_query_planes(x, ks, (s[2], s[3]), (p[2], p[3]))
 
-        # branch 2: conv over the support plane, batched over query positions
-        t2 = x.reshape(b * h * w, hs, ws, c_in)
-        t2 = conv_s(t2)
-        ohs, ows = t2.shape[1], t2.shape[2]
-        out2 = t2.reshape(b, h, w, ohs, ows, oc)
-
-        return out1 + out2
+        if self.use_bias:
+            out = out + (bq + bs).astype(out.dtype)
+        return out
 
 
 def conv4d(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -118,7 +202,12 @@ def conv4d(x: jnp.ndarray, kernel: jnp.ndarray,
 
 
 class Conv4d(nn.Module):
-    """Full 4D convolution module (stride 1)."""
+    """Full 4D convolution module (stride 1).
+
+    ``swap_roles=True`` is the plane-swapped application (used by symmetric
+    NeighConsensus): for a true 4D kernel, ``swap(conv(swap(x), K))`` equals
+    ``conv(x, K transposed on its spatial axes (k2, k3, k0, k1))``.
+    """
 
     out_channels: int
     kernel_size: Sequence[int] = (3, 3, 3, 3)
@@ -126,7 +215,7 @@ class Conv4d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, swap_roles: bool = False) -> jnp.ndarray:
         c_in = x.shape[-1]
         k = self.kernel_size
         fan_in = c_in * k[0] * k[1] * k[2] * k[3]
@@ -139,4 +228,6 @@ class Conv4d(nn.Module):
             self.param("bias", _uniform_bias_init(fan_in), (self.out_channels,))
             if self.use_bias else None
         )
+        if swap_roles:
+            kernel = kernel.transpose(2, 3, 0, 1, 4, 5)
         return conv4d(x, kernel, bias)

@@ -45,27 +45,36 @@ class NeighConsensus(nn.Module):
         blocks = []
         for i, (ksz, ch) in enumerate(zip(self.kernel_sizes, self.channels)):
             # remat each 4D-conv block: its 10-channel (h,w,hs,ws) output and
-            # the transposed/reshaped views inside are the dominant training
-            # activations (~1 GB/episode at 60x60 features); recomputing them
-            # in the backward keeps only the block INPUTS as residuals.
+            # the reshaped views inside are the dominant training activations
+            # (~1 GB/episode at 60x60 features); recomputing them in the
+            # backward keeps only the block INPUTS as residuals.
             # Forward-only use (eval/serving) is unaffected by checkpointing.
+            # static_argnums: (self, x, swap_roles) — the role flag selects
+            # the conv program at trace time, it is never a traced value.
             base = CONV4D[self.conv]
             kwargs = dict(out_channels=ch, kernel_size=(ksz,) * 4,
                           padding=(ksz // 2,) * 4, use_bias=True,
                           name=f"conv4d_{i}")
             if base is CenterPivotConv4d:
                 kwargs["stride"] = (1,) * 4
-            blocks.append(nn.remat(base)(**kwargs))
+            blocks.append(nn.remat(base, static_argnums=(2,))(**kwargs))
         self.blocks = blocks
 
-    def _stack(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _stack(self, x: jnp.ndarray, swap_roles: bool = False) -> jnp.ndarray:
         for blk in self.blocks:
-            x = nn.relu(blk(x))
+            x = nn.relu(blk(x, swap_roles))
         return x
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.symmetric_mode:
-            return self._stack(x) + _swap_planes(self._stack(_swap_planes(x)))
+            # symmetric mode is stack(x) + swap(stack(swap(x))) in the
+            # reference (src/model/match.py:79). Each whole-volume plane swap
+            # is ~0.5 GB of HBM traffic; instead the swapped chain runs the
+            # SAME blocks with conv roles exchanged (swap_roles=True), which
+            # is the identical computation with no transposes — ReLU commutes
+            # with the swap and each pivot conv obeys
+            # swap(conv(swap(x))) == conv_role_swapped(x).
+            return self._stack(x) + self._stack(x, swap_roles=True)
         return self._stack(x)
 
 

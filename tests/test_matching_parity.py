@@ -233,3 +233,49 @@ def test_mmn_matches_reference(rng):
     np.testing.assert_allclose(
         np.asarray(got_fq).transpose(0, 3, 1, 2), ref_fq.numpy(), rtol=1e-3, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("stride", [(1, 1, 1, 1), (1, 1, 2, 2)])
+def test_center_pivot_swap_roles_identity(rng, stride):
+    """swap_roles=True must equal swap(conv(swap(x))) — the identity the
+    symmetric NeighConsensus chain (and the Pallas pivot path) relies on."""
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 6, 6, 3)).astype(np.float32))
+    mod = CenterPivotConv4d(out_channels=4, stride=stride)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    swap = lambda t: t.transpose(0, 3, 4, 1, 2, 5)
+    got = mod.apply(variables, x, True)
+    want = swap(mod.apply(variables, swap(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_true_conv4d_swap_roles_identity(rng):
+    x = jnp.asarray(rng.standard_normal((1, 5, 5, 5, 5, 2)).astype(np.float32))
+    mod = Conv4d(out_channels=3)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    swap = lambda t: t.transpose(0, 3, 4, 1, 2, 5)
+    got = mod.apply(variables, x, True)
+    want = swap(mod.apply(variables, swap(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_neigh_consensus_symmetric_grads_flow(rng):
+    """Symmetric mode (swap-roles chains + per-block remat) must be
+    differentiable and use each conv param in both orientations."""
+    x = jnp.asarray(rng.standard_normal((1, 5, 5, 5, 5, 2)).astype(np.float32))
+    from few_shot_seg_cwt_tpu.models.matching import NeighConsensus
+
+    mod = NeighConsensus(kernel_sizes=(3, 3), channels=(4, 1),
+                         symmetric_mode=True)
+    variables = mod.init(jax.random.PRNGKey(1), x)
+
+    def loss(v, t):
+        return jnp.mean(mod.apply(v, t) ** 2)
+
+    g = jax.grad(loss)(variables, x)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # every kernel participates in both chains; grads must be nonzero
+    norms = [float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g)]
+    assert all(n > 0 for n in norms), norms
