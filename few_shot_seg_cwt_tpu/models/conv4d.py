@@ -75,13 +75,17 @@ class _ConvParams(nn.Module):
 
 
 def _conv_query_planes(x: jnp.ndarray, kernel: jnp.ndarray,
-                       strides, padding) -> jnp.ndarray:
+                       strides, padding, bias=None) -> jnp.ndarray:
     """Conv over dims (1, 2) of (B, h, w, hs, ws, C), batched over (hs, ws).
 
     Measured on v5e: XLA absorbs the plane transpose into the convolution's
     layout assignment, while the "conv3d with a size-1 trailing spatial dim"
     formulation is 2.4x slower end-to-end (tools/bench_head_parts.py probes)
     — so the batched-2D form with an explicit transpose is the fast one.
+    The bias is added on the conv's IMMEDIATE (batched-2D) output, exactly
+    like nn.Conv: adding it on the restored 6D volume instead created an
+    extra whole-volume op per block (+ a second full-volume reduce in its
+    VJP) and pushed the 473px MMN train step out of HBM.
     """
     b, h, w, hs, ws, c = x.shape
     kh, kw, ci, co = kernel.shape
@@ -94,13 +98,17 @@ def _conv_query_planes(x: jnp.ndarray, kernel: jnp.ndarray,
         padding=[(padding[0],) * 2, (padding[1],) * 2],
         dimension_numbers=dn,
     )
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, co).astype(out.dtype)
     oh, ow = out.shape[1], out.shape[2]
     return out.reshape(b, hs, ws, oh, ow, co).transpose(0, 3, 4, 1, 2, 5)
 
 
 def _conv_support_planes(x: jnp.ndarray, kernel: jnp.ndarray,
-                         strides, padding) -> jnp.ndarray:
-    """Conv over dims (3, 4) of (B, h, w, hs, ws, C): free batched-2D view."""
+                         strides, padding, bias=None) -> jnp.ndarray:
+    """Conv over dims (3, 4) of (B, h, w, hs, ws, C): free batched-2D view.
+
+    Bias on the immediate conv output (see _conv_query_planes)."""
     b, h, w, hs, ws, c = x.shape
     kh, kw, ci, co = kernel.shape
     dn = jax.lax.conv_dimension_numbers(
@@ -113,6 +121,8 @@ def _conv_support_planes(x: jnp.ndarray, kernel: jnp.ndarray,
         padding=[(padding[0],) * 2, (padding[1],) * 2],
         dimension_numbers=dn,
     )
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, co).astype(out.dtype)
     ohs, ows = out.shape[1], out.shape[2]
     return out.reshape(b, h, w, ohs, ows, co)
 
@@ -123,6 +133,16 @@ class CenterPivotConv4d(nn.Module):
     ``swap_roles=True`` computes ``swap_planes(self(swap_planes(x)))`` —
     the query kernel convolves the support planes and vice versa — without
     materializing either transpose.
+
+    Two input layouts:
+
+    * channels-last 6D ``(B, h, w, hs, ws, C)`` (default; XLA convs);
+    * flat channels-major ``(B, C, h*w, hs*ws)`` when ``flat_dims=(h, w,
+      hs, ws)`` is passed — the natural layout of a correlation volume
+      (``get_corr`` emits it directly). On TPU with the standard 3^4
+      stride-1 config this dispatches to the fused Pallas pivot kernel
+      (ops/pallas_pivot.py, optional fused ReLU via ``fuse_relu``);
+      elsewhere it falls back to the 6D math.
     """
 
     out_channels: int
@@ -132,8 +152,11 @@ class CenterPivotConv4d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, swap_roles: bool = False) -> jnp.ndarray:
-        c_in = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, swap_roles: bool = False,
+                 fuse_relu: bool = False,
+                 flat_dims: Tuple[int, int, int, int] | None = None
+                 ) -> jnp.ndarray:
+        c_in = x.shape[1] if flat_dims is not None else x.shape[-1]
         k = self.kernel_size
         s = self.stride
         p = self.padding
@@ -143,26 +166,74 @@ class CenterPivotConv4d(nn.Module):
         ks, bs = _ConvParams(self.out_channels, c_in, (k[2], k[3]),
                              self.use_bias, name="conv_support")()
 
+        if flat_dims is not None:
+            return self._flat(x, kq, ks, bq, bs, swap_roles, fuse_relu,
+                              tuple(int(d) for d in flat_dims))
+
         if not swap_roles:
             # branch 1: query-plane conv; support grid pruned by stride
             x1 = x
             if s[2] > 1 or s[3] > 1:
                 x1 = x1[:, :, :, :: s[2], :: s[3], :]
-            out = _conv_query_planes(x1, kq, (s[0], s[1]), (p[0], p[1]))
+            out = _conv_query_planes(x1, kq, (s[0], s[1]), (p[0], p[1]), bq)
             # branch 2: support-plane conv, batched over query positions
-            out = out + _conv_support_planes(x, ks, (s[2], s[3]), (p[2], p[3]))
+            out = out + _conv_support_planes(x, ks, (s[2], s[3]), (p[2], p[3]), bs)
         else:
             # swapped orientation: what was the "query" kernel now convolves
             # the support planes (and prunes the query grid), and vice versa
             x1 = x
             if s[2] > 1 or s[3] > 1:
                 x1 = x1[:, :: s[2], :: s[3], :, :, :]
-            out = _conv_support_planes(x1, kq, (s[0], s[1]), (p[0], p[1]))
-            out = out + _conv_query_planes(x, ks, (s[2], s[3]), (p[2], p[3]))
+            out = _conv_support_planes(x1, kq, (s[0], s[1]), (p[0], p[1]), bq)
+            out = out + _conv_query_planes(x, ks, (s[2], s[3]), (p[2], p[3]), bs)
 
-        if self.use_bias:
-            out = out + (bq + bs).astype(out.dtype)
+        if fuse_relu:
+            out = nn.relu(out)
         return out
+
+    def _flat(self, x, kq, ks, bq, bs, swap_roles, fuse_relu, dims):
+        """(B, C, Q, S) path: Pallas pivot kernel (opt-in), 6D math otherwise.
+
+        The Pallas kernel is exact and HBM-traffic-optimal but measured
+        VPU-issue-bound on v5e: 67 ms vs XLA's ~25 ms for a 10->10 pivot at
+        the 473px protocol (BENCH.md "Pivot kernel refutation") — so it
+        stays env-gated (FSS_PIVOT_PALLAS=1) rather than the default.
+        """
+        import os
+
+        from ..ops.pallas_pivot import (on_tpu, pivot_conv_flat,
+                                        pivot_kernel_available)
+
+        assert tuple(self.stride) == (1, 1, 1, 1), (
+            "flat layout supports stride 1 only", self.stride)
+        wa, wb = (ks, kq) if swap_roles else (kq, ks)
+        bias = (bq + bs) if self.use_bias else jnp.zeros(
+            (self.out_channels,), jnp.float32)
+        interpret = os.environ.get("FSS_PIVOT_INTERPRET") == "1"
+        if (os.environ.get("FSS_PIVOT_PALLAS") == "1" or interpret) and (
+                pivot_kernel_available(self.kernel_size, self.stride,
+                                       self.padding)
+                and (on_tpu() or interpret)):
+            return pivot_conv_flat(x, wa, wb, bias, dims=dims,
+                                   relu=fuse_relu, interpret=interpret)
+        # fallback: run the 6D math (tests/CPU; transposes are fine there)
+        hq, wq, hs, ws = dims
+        b = x.shape[0]
+        x6 = x.reshape(b, -1, hq, wq, hs, ws).transpose(0, 2, 3, 4, 5, 1)
+        sdims = ((self.stride[0], self.stride[1]), (self.stride[2], self.stride[3]))
+        pdims = ((self.padding[0], self.padding[1]), (self.padding[2], self.padding[3]))
+        if not swap_roles:
+            out = (_conv_query_planes(x6, kq, sdims[0], pdims[0])
+                   + _conv_support_planes(x6, ks, sdims[1], pdims[1]))
+        else:
+            out = (_conv_support_planes(x6, kq, sdims[0], pdims[0])
+                   + _conv_query_planes(x6, ks, sdims[1], pdims[1]))
+        out = out + bias.astype(out.dtype)
+        if fuse_relu:
+            out = nn.relu(out)
+        oh, ow, ohs, ows = out.shape[1], out.shape[2], out.shape[3], out.shape[4]
+        return out.transpose(0, 5, 1, 2, 3, 4).reshape(
+            b, self.out_channels, oh * ow, ohs * ows)
 
 
 def conv4d(x: jnp.ndarray, kernel: jnp.ndarray,

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.corr import get_corr, l2norm, masked_attention_readout, mutual_matching
+from ..ops.corr import (get_corr, l2norm, masked_attention_readout,
+                        mutual_matching, mutual_matching_flat)
 from .conv4d import CenterPivotConv4d, Conv4d
 
 CONV4D = {"red": CenterPivotConv4d, "cv4": Conv4d}
@@ -49,32 +50,67 @@ class NeighConsensus(nn.Module):
             # (~1 GB/episode at 60x60 features); recomputing them in the
             # backward keeps only the block INPUTS as residuals.
             # Forward-only use (eval/serving) is unaffected by checkpointing.
-            # static_argnums: (self, x, swap_roles) — the role flag selects
-            # the conv program at trace time, it is never a traced value.
+            # static_argnums: (self, x, swap_roles, fuse_relu, flat_dims) —
+            # all flags select the conv program at trace time.
             base = CONV4D[self.conv]
             kwargs = dict(out_channels=ch, kernel_size=(ksz,) * 4,
                           padding=(ksz // 2,) * 4, use_bias=True,
                           name=f"conv4d_{i}")
+            static = (2,)
             if base is CenterPivotConv4d:
                 kwargs["stride"] = (1,) * 4
-            blocks.append(nn.remat(base, static_argnums=(2,))(**kwargs))
+                static = (2, 3, 4)
+            blocks.append(nn.remat(base, static_argnums=static)(**kwargs))
         self.blocks = blocks
 
     def _stack(self, x: jnp.ndarray, swap_roles: bool = False) -> jnp.ndarray:
         for blk in self.blocks:
-            x = nn.relu(blk(x, swap_roles))
+            if self.conv == "red":  # remat static_argnums needs all args present
+                x = nn.relu(blk(x, swap_roles, False, None))
+            else:
+                x = nn.relu(blk(x, swap_roles))
         return x
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _stack_flat(self, x: jnp.ndarray, dims, swap_roles: bool) -> jnp.ndarray:
+        # relu fused into the pivot op; the Pallas path's custom VJP bounds
+        # backward memory by construction (residuals are the streamed block
+        # inputs), so no extra remat wrapper is needed here
+        for blk in self.blocks:
+            x = blk(x, swap_roles, True, dims)
+        return x
+
+    def __call__(self, x: jnp.ndarray, flat_dims=None) -> jnp.ndarray:
+        """x: (B, h, w, hs, ws, C) channels-last, or (B, C, h*w, hs*ws) when
+        ``flat_dims=(h, w, hs, ws)`` (the Pallas pivot-kernel layout)."""
+        if flat_dims is not None:
+            from ..ops.pallas_pivot import pivot_pallas_active
+
+            dims = tuple(int(d) for d in flat_dims)
+            if not (self.conv == "red" and pivot_pallas_active()):
+                # default path: ONE layout conversion around the whole 6D
+                # stack (the per-block Pallas path is exact but measured
+                # slower than XLA's convs on v5e — BENCH.md "Pivot kernel
+                # refutation"; re-enable with FSS_PIVOT_PALLAS=1)
+                b, c = x.shape[0], x.shape[1]
+                hq, wq, hs, ws = dims
+                x6 = x.reshape(b, c, hq, wq, hs, ws).transpose(0, 2, 3, 4, 5, 1)
+                out = self(x6)
+                return out.transpose(0, 5, 1, 2, 3, 4).reshape(
+                    b, out.shape[-1], hq * wq, hs * ws)
+            if self.symmetric_mode:
+                return (self._stack_flat(x, dims, False)
+                        + self._stack_flat(x, dims, True))
+            return self._stack_flat(x, dims, False)
         if self.symmetric_mode:
-            # symmetric mode is stack(x) + swap(stack(swap(x))) in the
-            # reference (src/model/match.py:79). Each whole-volume plane swap
-            # is ~0.5 GB of HBM traffic; instead the swapped chain runs the
-            # SAME blocks with conv roles exchanged (swap_roles=True), which
-            # is the identical computation with no transposes — ReLU commutes
-            # with the swap and each pivot conv obeys
-            # swap(conv(swap(x))) == conv_role_swapped(x).
-            return self._stack(x) + self._stack(x, swap_roles=True)
+            # the reference's symmetric form (src/model/match.py:79). The
+            # transpose-free alternative — running the same blocks with conv
+            # roles exchanged (swap_roles=True, used by the Pallas flat path)
+            # — is mathematically identical and measured EQUAL in time
+            # (138.1 vs 135.7 ms stack fwd), but its rematted backward keeps
+            # differently-laid-out volume temporaries live and pushed the
+            # 473px MMN train step ~0.8 GB past HBM; the materialized swaps
+            # keep the old peak-memory behavior.
+            return self._stack(x) + _swap_planes(self._stack(_swap_planes(x)))
         return self._stack(x)
 
 
@@ -161,6 +197,29 @@ class MatchNet(nn.Module):
         corr4d = mutual_matching(corr4d)
         return corr4d
 
+    def run_match_model_flat(self, corr: jnp.ndarray, dims) -> jnp.ndarray:
+        """Flat pipeline: (B, C, Q, S) in, (B, Q, S) filtered corr out.
+
+        With the opt-in Pallas pivot kernel the whole pipeline stays in the
+        channels-major layout (zero whole-volume transposes). On the default
+        XLA path the volume converts to channels-last ONCE around the
+        original 6D pipeline — interleaving flat and 6D stages kept two
+        whole-volume copies live under the head-loss remat and pushed the
+        473px MMN train step out of HBM.
+        """
+        from ..ops.pallas_pivot import pivot_pallas_active
+
+        hq, wq, hs, ws = (int(d) for d in dims)
+        if self.cv_type == "red" and pivot_pallas_active():
+            corr = mutual_matching_flat(corr)
+            corr = self.consensus(corr, flat_dims=dims)
+            corr = mutual_matching_flat(corr)
+            return corr[:, 0]
+        b, c = corr.shape[0], corr.shape[1]
+        x6 = corr.reshape(b, c, hq, wq, hs, ws).transpose(0, 2, 3, 4, 5, 1)
+        out = self.run_match_model(x6)[..., 0]
+        return out.reshape(b, hq * wq, hs * ws)
+
     def __call__(
         self,
         fq_fea: jnp.ndarray,      # (B, h, w, C) query features
@@ -178,9 +237,8 @@ class MatchNet(nn.Module):
         if self.sce:
             fq = self.sce_encoder(fq)
             fs = self.sce_encoder(fs)
-        corr = get_corr(fq, fs).reshape(b, h, w, h, w, 1)
-        corr4d = self.run_match_model(corr)[..., 0]
-        corr2d = corr4d.reshape(b, h * w, h * w)
+        corr = get_corr(fq, fs)                     # (B, Q, S) — already flat
+        corr2d = self.run_match_model_flat(corr[:, None], (h, w, h, w))
 
         if ig_mask is not None:
             corr2d = jnp.where(ig_mask[:, None, :], 1e-4, corr2d)
@@ -194,11 +252,27 @@ class MatchNet(nn.Module):
         return weighted_v
 
     def corr_forward(self, corr4d: jnp.ndarray, v: jnp.ndarray, ret_attn: bool = False):
-        """Filter a pre-built multi-channel volume (B, h, w, hs, ws, L)."""
+        """Filter a pre-built multi-channel volume (B, h, w, hs, ws, L).
+
+        Delegates to the flat pipeline (free reshape for L == 1; one
+        transpose otherwise — multi-channel callers like MMN build the flat
+        layout directly via corr_forward_flat and never pay it).
+        """
         b, h, w, hs, ws, ch = corr4d.shape
         assert ch == self.in_channel, (ch, self.in_channel)
-        corr4d = self.run_match_model(corr4d)[..., 0]
-        corr2d = corr4d.reshape(b, h * w, hs * ws)
+        if ch == 1:
+            flat = corr4d.reshape(b, 1, h * w, hs * ws)
+        else:
+            flat = corr4d.transpose(0, 5, 1, 2, 3, 4).reshape(
+                b, ch, h * w, hs * ws)
+        return self.corr_forward_flat(flat, v, (h, w, hs, ws), ret_attn)
+
+    def corr_forward_flat(self, corr: jnp.ndarray, v: jnp.ndarray,
+                          dims, ret_attn: bool = False):
+        """Filter a flat channels-major volume (B, L, h*w, hs*ws)."""
+        assert corr.shape[1] == self.in_channel, (corr.shape, self.in_channel)
+        h, w = int(dims[0]), int(dims[1])
+        corr2d = self.run_match_model_flat(corr, tuple(int(d) for d in dims))
         weighted_v = self._readout(corr2d, v, h, w)
         if ret_attn:
             return corr2d, weighted_v

@@ -107,14 +107,17 @@ class MMN(nn.Module):
             if self.wa:
                 fq_fea = self.wa_mods[str(bid)](fq_fea, deterministic=deterministic)
                 fs_fea = self.wa_mods[str(bid)](fs_fea, deterministic=deterministic)
-            corr = get_corr(fq_fea, fs_fea)               # (shot, Nq, Ns)
-            corr_ch.append(corr.reshape(shot, h, w, h, w, 1))
+            corr_ch.append(get_corr(fq_fea, fs_fea))      # (shot, Nq, Ns)
 
-        corr4d = jnp.concatenate(corr_ch, axis=-1)
+        # channels-major flat volume (shot, L, Nq, Ns) — get_corr's natural
+        # output layout; feeds the consensus stack (Pallas pivot kernel on
+        # TPU) with no whole-volume transpose anywhere in the pipeline
+        corr_flat = jnp.stack(corr_ch, axis=1)
         if self.agg == "sum":
-            corr4d = jnp.sum(corr4d, axis=-1, keepdims=True)
+            corr_flat = jnp.sum(corr_flat, axis=1, keepdims=True)
 
-        attn, att_shots = self.corr_net.corr_forward(corr4d, v=f_s, ret_attn=True)
+        attn, att_shots = self.corr_net.corr_forward_flat(
+            corr_flat, v=f_s, dims=(h, w, h, w), ret_attn=True)
         att_fq = jnp.mean(att_shots, axis=0, keepdims=True)  # average over shots
         fq = f_q * (1.0 - self.att_wt) + att_fq * self.att_wt
         if ret_shots:

@@ -43,6 +43,19 @@ def mutual_matching(corr: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return corr * (corr_a * corr_b)
 
 
+def mutual_matching_flat(corr: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """mutual_matching on the flat channels-major layout (B, C, Q, S).
+
+    Q = h*w (query pixels), S = hs*ws (support pixels); identical math to
+    the 6D form — per-channel max over all support pixels / all query pixels.
+    """
+    max_s = jnp.max(corr, axis=3, keepdims=True)
+    max_q = jnp.max(corr, axis=2, keepdims=True)
+    corr_a = corr / (max_s + eps)
+    corr_b = corr / (max_q + eps)
+    return corr * (corr_a * corr_b)
+
+
 def mutual_nn_filter(corr: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
     """Mutual nearest-neighbour filtering of a flattened (B, N, N) matrix."""
     src_max = jnp.max(corr, axis=2, keepdims=True)
