@@ -179,9 +179,13 @@ _DEFAULTS: Dict[str, Any] = {
     "episode_batch": 8,        # episodes vmapped per device step (eval)
     "compute_dtype": "float32",  # 'float32' | 'bfloat16'
     "bf16_stages": None,       # mixed policy: 'all' or e.g. 'stem,layer1,layer2'
-    "remat_head": True,        # recompute head activations in backward: the
-                               # 473px corr heads' NeighConsensus intermediates
-                               # (~2 GB/episode) cannot all stay in HBM
+    "remat_head": None,        # recompute head activations in backward.
+                               # None = per-head default (episodic/heads.py):
+                               # the NeighConsensus heads' per-block remat
+                               # already bounds the ~2 GB/episode volume
+                               # activations, so the outer recompute is
+                               # redundant there (+36% measured when off);
+                               # CHM's 4D/6D convs still need it
     "head_grad_accum": True,   # head train step: accumulate per-episode grads
                                # sequentially (exact; bounds HBM by 1 episode)
 

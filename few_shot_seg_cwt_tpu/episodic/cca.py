@@ -147,10 +147,14 @@ class CCAEngine(HeadEngine):
                 deterministic=det, rngs=None if det else {"dropout": rng_h},
             )
 
-        if cfg.get("remat_head", True) and not det:
-            # same HBM bound as HeadEngine.train_episode_loss: recompute the
-            # MMN forward in the backward instead of storing its (h,w,hs,ws,10)
-            # NeighConsensus intermediates (~2 GB/episode at 473px)
+        want_remat = cfg.get("remat_head", None)
+        if want_remat is None:
+            # the CCA head is MMN: its NeighConsensus blocks carry their own
+            # per-block remat (models/matching.py), which already bounds the
+            # ~2 GB/episode volume activations — the outer recompute is
+            # redundant (dropping it measured +36% on the MMN train step)
+            want_remat = False
+        if want_remat and not det:
             head_fwd = jax.checkpoint(head_fwd)
         loss_train, fq_feats, fs_feats = trainables, parts["fq_feats"], parts["fs_feats"]
         f_q_in, f_s_in = parts["f_q"], parts["f_s"]

@@ -386,14 +386,20 @@ class HeadEngine:
             loss_parts = amp_cast(parts)
             loss_train = amp_cast(trainables)
             loss_frozen = None if frozen_vars is None else amp_cast(frozen_vars)
-        # remat (cfg.remat_head, default on): recompute the head forward
-        # during the backward pass instead of storing its activations — the
-        # corr heads' NeighConsensus intermediates are (h,w,hs,ws,10) volumes
-        # (~2 GB/episode at 473px); keeping them all alive for value_and_grad
-        # exceeds any single chip's HBM, while recompute costs ~1/3 extra
-        # FLOPs on a trainer whose wall time the backward already dominates.
-        remat = (lambda f: jax.checkpoint(f)) if self.cfg.get("remat_head", True) \
-            else (lambda f: f)
+        # remat (cfg.remat_head): recompute the head forward during the
+        # backward pass instead of storing its activations. Default is now
+        # PER HEAD: the NeighConsensus-based heads (mmn/match/fuse/detr) have
+        # per-block remat inside the stack (models/matching.py) which already
+        # bounds the (h,w,hs,ws,10) volume activations, so the outer
+        # whole-loss remat only added a redundant forward recompute —
+        # dropping it measured +36% on the 473px MMN train step (2.16 ->
+        # 2.92 eps/s) at an HBM peak that still fits single-chip. The CHM
+        # head's 4D/6D convolutions have no block-level remat, so it keeps
+        # the whole-loss checkpoint; att/asy hold no volume activations.
+        want_remat = self.cfg.get("remat_head", None)
+        if want_remat is None:
+            want_remat = self.head_type == "chm"
+        remat = (lambda f: jax.checkpoint(f)) if want_remat else (lambda f: f)
         if self.head_type == "asy":
             loss, preds = remat(self._loss_asy)(
                 loss_train, loss_parts, episode, rng_head)
