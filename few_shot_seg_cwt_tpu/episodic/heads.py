@@ -503,6 +503,43 @@ class HeadEngine:
         fn = jax.vmap(eval_one, in_axes=(None, None, 0, 0, None))
         return jax.jit(fn)
 
+    # serving: heads whose deterministic prediction is label-free. asy/att
+    # thread the query label into the ignore-mask that shapes the prediction
+    # itself (get_ig_mask/outer_forward), so they have no serving form; the
+    # match head is servable only with the eval-time `ignore` re-readout off.
+    SERVABLE = ("mmn", "match", "chm", "detr", "fuse")
+
+    def serve_episode(self, vars_b, trainables, episode, rng,
+                      frozen_vars=None) -> jnp.ndarray:
+        """Label-free inference: episode -> (H, W) int32 query mask.
+
+        Runs the head's deterministic eval forward with a placeholder query
+        label: for the servable heads the prediction never reads it (the
+        loss that does is an unused output, removed by XLA DCE), so the
+        exported program is exactly the validation-time blended prediction
+        (argmax of preds['pred']). Used by tools/export_serve.
+        """
+        if self.head_type not in self.SERVABLE:
+            raise ValueError(
+                f"head '{self.head_type}' has no label-free serving form "
+                "(its prediction consumes the query-label ignore mask)")
+        if self.head_type == "match" and self.cfg.get("ignore", False):
+            raise ValueError(
+                "match-head serving requires `ignore False`: the eval-time "
+                "ig-mask re-readout consumes the query label")
+        episode = dict(episode)
+        episode["q_label"] = jnp.zeros(
+            episode["q_img"].shape[-3:-1], jnp.int32)
+        parts = self.episode_parts(vars_b, episode, rng)
+        if self.head_type == "fuse":
+            _, preds = self._loss_fuse({"params": trainables}, parts, episode,
+                                       rng, frozen_vars, det=True)
+        else:
+            loss_fn = getattr(self, f"_loss_{self.head_type}")
+            _, preds = loss_fn({"params": trainables}, parts, episode, rng,
+                               det=True)
+        return jnp.argmax(preds["pred"], -1).astype(jnp.int32)
+
 
 def _disagreement_loss(pred, pred0, pred1, q_label, ignore_index: int = 255):
     """Disagreement-weighted CE (reference: src/train_fuse.py:185-189)."""

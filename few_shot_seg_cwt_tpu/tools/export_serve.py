@@ -20,7 +20,16 @@ CLI:
 
     python -m few_shot_seg_cwt_tpu.tools.export_serve \
         --config configs/pascal.yaml --out cwt_serve.jaxexport \
-        [--batch 8] [--mesh N] [--opts resume_weights best.pth ckpt_used best ...]
+        [--batch 8] [--mesh N] [--head mmn --head-ckpt best.ckpt] \
+        [--opts resume_weights best.pth ckpt_used best ...]
+
+``--head {mmn|match|chm|detr|fuse}`` exports an EXTENSION-HEAD predictor
+instead of the CWT one: frozen backbone -> inner loop -> head-refined query
+feature -> blended prediction -> argmax (the validation-time prediction of
+train_head, label-free; see HeadEngine.serve_episode for which heads have a
+serving form). ``--head-ckpt`` points at the trainer's orbax best/final
+ckpt (random init without it, for plumbing runs); the fuse head reads its
+frozen MatchNet from cfg.matchnet_ckpt as at training time.
 
 ``--mesh N`` exports the program data-parallel over an N-device mesh
 (episodes sharded on the batch axis, weights replicated); the artifact then
@@ -90,19 +99,92 @@ def build_serve_export(cfg, vars_b, vars_t, batch: int, mesh=None):
     return jax.export.export(fn)(specs, rng_spec)
 
 
-def export_to_file(cfg, out_path: str, batch: int, mesh_devices: int = 0) -> dict:
+def build_head_serve_export(cfg, head_type: str, vars_b, trainables,
+                            frozen_vars, batch: int, mesh=None):
+    """Export an extension head's label-free predictor (HeadEngine.serve_episode)."""
+    import jax.export
+
+    from ..episodic.heads import HeadEngine
+
+    engine = HeadEngine(cfg, head_type)
+
+    def serve(episodes, rngs):
+        return jax.vmap(
+            engine.serve_episode, in_axes=(None, None, 0, 0, None)
+        )(vars_b, trainables, episodes, rngs, frozen_vars)
+
+    size = int(cfg.image_size)
+    shot = int(cfg.shot)
+    specs = {
+        "s_img": jax.ShapeDtypeStruct((batch, shot, size, size, 3), jnp.float32),
+        "s_label": jax.ShapeDtypeStruct((batch, shot, size, size), jnp.int32),
+        "q_img": jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32),
+    }
+    rng_spec = jax.ShapeDtypeStruct((batch, 2), jnp.uint32)
+    if mesh is None:
+        fn = jax.jit(serve)
+    else:
+        from ..parallel.mesh import data_sharding
+
+        n = mesh.size
+        if batch % n:
+            raise ValueError(f"--batch {batch} must be divisible by mesh size {n}")
+        fn = jax.jit(
+            serve,
+            in_shardings=(
+                {k: data_sharding(mesh, v.ndim) for k, v in specs.items()},
+                data_sharding(mesh, 2),
+            ),
+            out_shardings=data_sharding(mesh, 3),
+        )
+    return jax.export.export(fn)(specs, rng_spec)
+
+
+def _load_head_weights(cfg, head_type: str, head_ckpt):
+    """Backbone per the test-entry rules + head trainables (orbax or random)."""
+    import numpy as np
+
+    from ..episodic.heads import HeadEngine
+    from ..train.test import load_backbone_weights
+    from ..train.train_head import init_head_trainables
+
+    engine = HeadEngine(cfg, head_type)
+    vars_b = load_backbone_weights(cfg, engine)
+    trainables = init_head_trainables(cfg, engine, vars_b)
+    if head_ckpt:
+        from ..utils.ckpt import load_ckpt
+
+        restored = load_ckpt(str(head_ckpt),
+                             like=jax.tree.map(np.asarray, {"params": trainables}))
+        trainables = restored["params"]
+        print(f"=> loaded head trainables '{head_ckpt}'")
+    frozen_vars = None
+    if head_type == "fuse":
+        from ..train.train_head import init_frozen_match
+
+        frozen_vars = init_frozen_match(cfg, engine)
+    return vars_b, trainables, frozen_vars
+
+
+def export_to_file(cfg, out_path: str, batch: int, mesh_devices: int = 0,
+                   head: str | None = None, head_ckpt: str | None = None) -> dict:
     """Load eval weights per the test-entry rules, export, write the blob."""
     from ..episodic.engine import EpisodicEngine
     from ..train.test import load_eval_weights
 
-    engine = EpisodicEngine(cfg)
-    vars_b, vars_t = load_eval_weights(cfg, engine)
     mesh = None
     if mesh_devices:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh([mesh_devices])
-    exported = build_serve_export(cfg, vars_b, vars_t, batch, mesh=mesh)
+    if head:
+        vars_b, trainables, frozen_vars = _load_head_weights(cfg, head, head_ckpt)
+        exported = build_head_serve_export(
+            cfg, head, vars_b, trainables, frozen_vars, batch, mesh=mesh)
+    else:
+        engine = EpisodicEngine(cfg)
+        vars_b, vars_t = load_eval_weights(cfg, engine)
+        exported = build_serve_export(cfg, vars_b, vars_t, batch, mesh=mesh)
     blob = exported.serialize()
     with open(out_path, "wb") as f:
         f.write(blob)
@@ -114,6 +196,7 @@ def export_to_file(cfg, out_path: str, batch: int, mesh_devices: int = 0) -> dic
         "shot": int(cfg.shot),
         "image_size": int(cfg.image_size),
         "devices": exported.nr_devices,
+        "head": head or "cwt",
     }
     return info
 
@@ -129,13 +212,20 @@ def main(argv=None) -> dict:
     p.add_argument("--mesh", type=int, default=0,
                    help="export data-parallel over this many devices "
                         "(0 = single-device artifact)")
+    p.add_argument("--head", default=None,
+                   help="export this extension head's predictor instead of "
+                        "the CWT one (mmn|match|chm|detr|fuse)")
+    p.add_argument("--head-ckpt", default=None,
+                   help="orbax ckpt of the head trainables (train_head's "
+                        "best/final); random init if omitted")
     p.add_argument("--opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args(argv)
 
     cfg = load_cfg(args.config)
     if args.opts:
         cfg = merge_cfg_from_list(cfg, args.opts)
-    info = export_to_file(cfg, args.out, args.batch, mesh_devices=args.mesh)
+    info = export_to_file(cfg, args.out, args.batch, mesh_devices=args.mesh,
+                          head=args.head, head_ckpt=args.head_ckpt)
     print(info)
     return info
 

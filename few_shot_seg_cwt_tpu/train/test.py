@@ -55,13 +55,11 @@ def load_transformer(cfg, engine, vars_t_init):
     return vars_t_init
 
 
-def load_eval_weights(cfg, engine):
-    """Backbone + transformer variables for evaluation/serving.
+def load_backbone_weights(cfg, engine):
+    """Backbone variables for evaluation/serving.
 
     test-time ``resume_weights`` may point directly at a .pth file
-    (scripts/test.sh); otherwise the stage-1 directory schema applies. The
-    transformer loads via ``ckpt_used`` (orbax or reference .pth) with a
-    random-init fallback (src/test.py:54-91).
+    (scripts/test.sh); otherwise the stage-1 directory schema applies.
     """
     if cfg.resume_weights and os.path.isfile(str(cfg.resume_weights)):
         vars_b = init_backbone(
@@ -76,7 +74,16 @@ def load_eval_weights(cfg, engine):
         print(f"=> loaded weight '{cfg.resume_weights}'")
     else:
         vars_b = init_backbone(cfg, engine)
+    return vars_b
 
+
+def load_eval_weights(cfg, engine):
+    """Backbone + transformer variables for evaluation/serving.
+
+    The transformer loads via ``ckpt_used`` (orbax or reference .pth) with a
+    random-init fallback (src/test.py:54-91).
+    """
+    vars_b = load_backbone_weights(cfg, engine)
     vars_t = load_transformer(cfg, engine, init_cwt(cfg, engine))
     return vars_b, vars_t
 

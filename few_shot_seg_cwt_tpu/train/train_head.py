@@ -46,6 +46,25 @@ from .optim import build_optimizer
 EP_KEYS = ("s_img", "s_label", "q_img", "q_label", "cls")
 
 
+def init_frozen_match(cfg, engine: HeadEngine):
+    """The fuse head's frozen pretrained MatchNet (src/train_fuse.py:100):
+    imported from cfg.matchnet_ckpt when present, random init otherwise."""
+    fm_path = cfg.get("matchnet_ckpt", None)
+    if fm_path and os.path.exists(str(fm_path)):
+        from ..utils.ckpt import import_matchnet, load_torch_checkpoint
+
+        return import_matchnet(load_torch_checkpoint(fm_path))
+    import jax.numpy as jnp
+
+    h = (cfg.image_size - 1) // 8 + 1
+    corr = jnp.zeros((1, h, h, h, h, 1), jnp.float32)
+    fs = jnp.zeros((1, h, h, cfg.bottleneck_dim), jnp.float32)
+    return engine.frozen_match.init(
+        jax.random.PRNGKey(3), corr, fs,
+        method=engine.frozen_match.corr_forward,
+    )
+
+
 def init_head_trainables(cfg, engine: HeadEngine, vars_b):
     """Initialize head params by tracing one (tiny) episode."""
     import jax.numpy as jnp
@@ -161,24 +180,7 @@ def main(cfg, head_type: Optional[str] = None) -> float:
     mesh = maybe_mesh(cfg)
     vars_b = init_backbone(cfg, engine)
     trainables = init_head_trainables(cfg, engine, vars_b)
-    frozen_vars = None
-    if head_type == "fuse":
-        # frozen pretrained MatchNet (random init if no ckpt is given)
-        fm_path = cfg.get("matchnet_ckpt", None)
-        if fm_path and os.path.exists(str(fm_path)):
-            from ..utils.ckpt import import_matchnet, load_torch_checkpoint
-
-            frozen_vars = import_matchnet(load_torch_checkpoint(fm_path))
-        else:
-            h = (cfg.image_size - 1) // 8 + 1
-            import jax.numpy as jnp
-
-            corr = jnp.zeros((1, h, h, h, h, 1), jnp.float32)
-            fs = jnp.zeros((1, h, h, cfg.bottleneck_dim), jnp.float32)
-            frozen_vars = engine.frozen_match.init(
-                jax.random.PRNGKey(3), corr, fs,
-                method=engine.frozen_match.corr_forward,
-            )
+    frozen_vars = init_frozen_match(cfg, engine) if head_type == "fuse" else None
 
     optimizer = build_optimizer(
         cfg, base_lr=cfg.trans_lr * cfg.scale_lr,

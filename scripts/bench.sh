@@ -17,6 +17,10 @@ if [ "$1" = "full" ]; then
   BENCH_SHOT=5 BENCH_EPISODE_BATCH=8 python bench.py
   echo "--- mmn-head train step fp32 ---"
   BENCH_MODE=head python bench.py
+  echo "--- match-head train step fp32 ---"
+  BENCH_MODE=head BENCH_HEAD=match python bench.py
+  echo "--- stage-1 pretrain step fp32 ---"
+  BENCH_MODE=pretrain python bench.py
   echo "--- bf16 A/B (same weights+episodes; see BENCH.md) ---"
   python -m few_shot_seg_cwt_tpu.eval.ab_dtype --episodes 128 --batch 16
 fi

@@ -130,3 +130,70 @@ def test_export_serve_cli(tmp_path):
     assert info["bytes"] == out.stat().st_size > 0
     restored = jax.export.deserialize(out.read_bytes())
     assert restored.in_avals  # parses back into an Exported
+
+
+def test_export_head_serve_roundtrip(tmp_path):
+    """The MMN-head artifact reproduces the live HeadEngine prediction."""
+    import jax
+    import jax.export
+
+    from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+    from few_shot_seg_cwt_tpu.tools.export_serve import build_head_serve_export
+    from few_shot_seg_cwt_tpu.train.common import init_backbone
+    from few_shot_seg_cwt_tpu.train.train_head import init_head_trainables
+
+    cfg = _cfg(rmid="l34", temp=20.0, att_wt=0.2)
+    engine = HeadEngine(cfg, "mmn")
+    vars_b = init_backbone(cfg, engine)
+    trainables = init_head_trainables(cfg, engine, vars_b)
+
+    e = 2
+    batch = _episode_batch(cfg, e=e)
+    rngs = jax.vmap(jax.random.PRNGKey)(np.arange(e))
+
+    live = jax.vmap(engine.serve_episode, in_axes=(None, None, 0, 0, None))(
+        vars_b, trainables, batch, rngs, None)
+
+    exported = build_head_serve_export(cfg, "mmn", vars_b, trainables, None, e)
+    restored = jax.export.deserialize(exported.serialize())
+    served = restored.call(batch, rngs)
+
+    assert served.shape == (e, cfg.image_size, cfg.image_size)
+    np.testing.assert_array_equal(np.asarray(served), np.asarray(live))
+    # the blended head prediction differs from a raw-classifier mask, so the
+    # artifact demonstrably carries the head (not just the inner loop)
+    assert np.asarray(served).min() >= 0 and np.asarray(served).max() <= 1
+
+
+def test_head_serve_rejects_label_dependent_heads():
+    import pytest as _pytest
+
+    from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+    from few_shot_seg_cwt_tpu.train.common import init_backbone
+    from few_shot_seg_cwt_tpu.train.train_head import init_head_trainables
+
+    cfg = _cfg(rmid="l4", temp=20.0, att_wt=0.2)
+    engine = HeadEngine(cfg, "att")
+    vars_b = init_backbone(cfg, engine)
+    trainables = init_head_trainables(cfg, engine, vars_b)
+    batch = _episode_batch(cfg, e=1)
+    ep = {k: v[0] for k, v in batch.items()}
+    with _pytest.raises(ValueError, match="no label-free serving"):
+        engine.serve_episode(vars_b, trainables, ep, None)
+
+
+@pytest.mark.slow
+def test_export_head_serve_cli(tmp_path):
+    from few_shot_seg_cwt_tpu.tools.export_serve import main
+
+    out = str(tmp_path / "mmn_serve.jaxexport")
+    info = main([
+        "--config", "configs/synthetic_smoke.yaml",
+        "--out", out, "--batch", "2", "--head", "mmn",
+        "--opts", "image_size", "33", "adapt_iter", "2", "workers", "0",
+        "rmid", "'l34'", "temp", "20.0", "att_wt", "0.2",
+    ])
+    assert info["head"] == "mmn"
+    import os
+
+    assert os.path.getsize(out) == info["bytes"]
