@@ -147,14 +147,10 @@ class CCAEngine(HeadEngine):
                 deterministic=det, rngs=None if det else {"dropout": rng_h},
             )
 
-        want_remat = cfg.get("remat_head", None)
-        if want_remat is None:
-            # the CCA head is MMN: its NeighConsensus blocks carry their own
-            # per-block remat (models/matching.py), which already bounds the
-            # ~2 GB/episode volume activations — the outer recompute is
-            # redundant (dropping it measured +36% on the MMN train step)
-            want_remat = False
-        if want_remat and not det:
+        from .heads import head_remat_default
+
+        # the CCA head is MMN — shared per-head remat policy
+        if head_remat_default(cfg, self.head_type) and not det:
             head_fwd = jax.checkpoint(head_fwd)
         loss_train, fq_feats, fs_feats = trainables, parts["fq_feats"], parts["fs_feats"]
         f_q_in, f_s_in = parts["f_q"], parts["f_s"]

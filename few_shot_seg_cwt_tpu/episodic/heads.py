@@ -42,6 +42,23 @@ from .inner_loop import adapt_classifier
 HEAD_TYPES = ("mmn", "detr", "match", "chm", "att", "asy", "fuse")
 
 
+def head_remat_default(cfg, head_type: str) -> bool:
+    """Whole-loss remat policy: cfg.remat_head wins; None means per-head.
+
+    The NeighConsensus-based heads (mmn/match/fuse/detr — and the CCA
+    engine, whose head is MMN) carry per-block remat inside the stack
+    (models/matching.py) that already bounds the ~2 GB/episode volume
+    activations, so the outer recompute is redundant — dropping it measured
+    +34% on the driver bench (2.17 -> 2.90 eps/s, 473px MMN step). CHM's
+    4D/6D convolutions have no block-level remat and keep the checkpoint;
+    att/asy hold no volume activations.
+    """
+    want = cfg.get("remat_head", None)
+    if want is not None:
+        return bool(want)
+    return head_type == "chm"
+
+
 def build_head(cfg, head_type: str):
     if head_type == "mmn":
         return build_mmn(cfg)
@@ -386,20 +403,9 @@ class HeadEngine:
             loss_parts = amp_cast(parts)
             loss_train = amp_cast(trainables)
             loss_frozen = None if frozen_vars is None else amp_cast(frozen_vars)
-        # remat (cfg.remat_head): recompute the head forward during the
-        # backward pass instead of storing its activations. Default is now
-        # PER HEAD: the NeighConsensus-based heads (mmn/match/fuse/detr) have
-        # per-block remat inside the stack (models/matching.py) which already
-        # bounds the (h,w,hs,ws,10) volume activations, so the outer
-        # whole-loss remat only added a redundant forward recompute —
-        # dropping it measured +36% on the 473px MMN train step (2.16 ->
-        # 2.92 eps/s) at an HBM peak that still fits single-chip. The CHM
-        # head's 4D/6D convolutions have no block-level remat, so it keeps
-        # the whole-loss checkpoint; att/asy hold no volume activations.
-        want_remat = self.cfg.get("remat_head", None)
-        if want_remat is None:
-            want_remat = self.head_type == "chm"
-        remat = (lambda f: jax.checkpoint(f)) if want_remat else (lambda f: f)
+        # whole-loss remat: see head_remat_default for the per-head policy
+        remat = (lambda f: jax.checkpoint(f)) \
+            if head_remat_default(self.cfg, self.head_type) else (lambda f: f)
         if self.head_type == "asy":
             loss, preds = remat(self._loss_asy)(
                 loss_train, loss_parts, episode, rng_head)

@@ -154,13 +154,9 @@ def _pivot_fwd_kernel(ci: int, co_t: int, wq: int, hs: int, ws: int,
 
     acc0 = tuple(jnp.full((wq, hs * ws), bias_ref[0, c], f32)
                  for c in range(co_t))
-    import os
-    if os.environ.get("FSS_PIVOT_UNROLL") == "1":
-        acc = acc0
-        for c_in in range(ci):
-            acc = body(c_in, acc)
-    else:
-        acc = jax.lax.fori_loop(0, ci, body, acc0)
+    # fori (not a static unroll): unrolling keeps every shifted tile live —
+    # measured 238 MB of VMEM at ci=10 — while the loop form fits via spills
+    acc = jax.lax.fori_loop(0, ci, body, acc0)
 
     for c in range(co_t):
         v = jnp.maximum(acc[c], 0.0) if relu else acc[c]
@@ -398,17 +394,19 @@ def _pivot_op(dims: Tuple[int, int, int, int], relu: bool, interpret: bool):
 
     def fwd(x, wa, wb, bias):
         y = op(x, wa, wb, bias)
-        return y, (x, wa, wb, y)
+        return y, (x, wa, wb, bias, y)
 
     def bwd(res, dy):
-        x, wa, wb, y = res
+        x, wa, wb, bias, y = res
         g = dy * (y > 0).astype(dy.dtype) if relu else dy
         zeros = jnp.zeros((x.shape[0],), jnp.float32)
         dx = _pivot_fwd(g, _flip_t(wa), _flip_t(wb), zeros, dims,
                         False, interpret)
         dwa, dwb, db = _pivot_dw(x, g, wa.shape[-1], dims, interpret)
+        # every cotangent must match its primal's dtype (bias may be bf16
+        # under use_amp)
         return (dx.astype(x.dtype), dwa.astype(wa.dtype),
-                dwb.astype(wb.dtype), db.astype(jnp.float32))
+                dwb.astype(wb.dtype), db.astype(bias.dtype))
 
     op.defvjp(fwd, bwd)
     return op
@@ -456,10 +454,16 @@ def pivot_pallas_active() -> bool:
 
     Default off: the kernel is exact and HBM-traffic-optimal but measured
     VPU-issue-bound on v5e — 67 ms vs XLA's ~25 ms for one 10->10 pivot at
-    the 473px protocol (BENCH.md "Pivot kernel refutation").
+    the 473px protocol (BENCH.md "Pivot kernel refutation"). Shares the
+    availability gates with pivot_kernel_available so the stack-level and
+    per-block dispatch decisions can never disagree (a disagreement would
+    interleave flat and 6D stages, the HBM-peak pattern run_match_model_flat
+    exists to avoid).
     """
     import os
 
+    if not HAVE_PALLAS or os.environ.get("FSS_DISABLE_PALLAS") == "1":
+        return False
     if os.environ.get("FSS_PIVOT_INTERPRET") == "1":
         return True
     return os.environ.get("FSS_PIVOT_PALLAS") == "1" and on_tpu()

@@ -154,9 +154,10 @@ def _load_head_weights(cfg, head_type: str, head_ckpt):
     if head_ckpt:
         from ..utils.ckpt import load_ckpt
 
-        restored = load_ckpt(str(head_ckpt),
-                             like=jax.tree.map(np.asarray, {"params": trainables}))
-        trainables = restored["params"]
+        # train_head saves best/final as the BARE trainables tree
+        # (train_head.py save_ckpt calls) — restore with the same structure
+        trainables = load_ckpt(str(head_ckpt),
+                               like=jax.tree.map(np.asarray, trainables))
         print(f"=> loaded head trainables '{head_ckpt}'")
     frozen_vars = None
     if head_type == "fuse":
@@ -221,6 +222,9 @@ def main(argv=None) -> dict:
     p.add_argument("--opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args(argv)
 
+    if args.head_ckpt and not args.head:
+        p.error("--head-ckpt requires --head (otherwise the CWT predictor "
+                "would be exported and the head checkpoint silently ignored)")
     cfg = load_cfg(args.config)
     if args.opts:
         cfg = merge_cfg_from_list(cfg, args.opts)

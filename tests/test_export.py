@@ -197,3 +197,31 @@ def test_export_head_serve_cli(tmp_path):
     import os
 
     assert os.path.getsize(out) == info["bytes"]
+
+
+def test_export_head_ckpt_roundtrip(tmp_path):
+    """--head-ckpt must restore what train_head actually saves (the bare
+    trainables tree) and bake it into the artifact."""
+    import jax
+    import jax.export
+    import numpy as np
+
+    from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+    from few_shot_seg_cwt_tpu.tools.export_serve import (_load_head_weights,
+                                                         build_head_serve_export)
+    from few_shot_seg_cwt_tpu.train.common import init_backbone
+    from few_shot_seg_cwt_tpu.train.train_head import init_head_trainables
+    from few_shot_seg_cwt_tpu.utils.ckpt import save_ckpt
+
+    cfg = _cfg(rmid="l34", temp=20.0, att_wt=0.2)
+    engine = HeadEngine(cfg, "mmn")
+    vars_b = init_backbone(cfg, engine)
+    trainables = init_head_trainables(cfg, engine, vars_b)
+    # perturb so the ckpt weights are distinguishable from a fresh init
+    trained = jax.tree.map(lambda t: t + 0.05, trainables)
+    ck = str(tmp_path / "best.ckpt")
+    save_ckpt(ck, jax.tree.map(np.asarray, trained))  # train_head's format
+
+    _, restored, _ = _load_head_weights(cfg, "mmn", ck)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(trained)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

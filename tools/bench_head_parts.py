@@ -31,11 +31,13 @@ import numpy as np
 
 def _time(fn, variants, reps: int, sync) -> tuple[float, float]:
     """Time fn over distinct input variants: the axon transport memoizes
-    byte-identical requests (see BENCH.md), so every timed call must differ."""
+    byte-identical requests (see BENCH.md), so every timed call must differ
+    (the caller supplies reps+1 variants: one per timed call + warmup)."""
+    assert len(variants) > reps, (len(variants), reps)
     sync(fn(*variants[0]))
     ts = []
     for i in range(reps):
-        args = variants[(i + 1) % len(variants)]
+        args = variants[i + 1]
         t0 = time.time()
         sync(fn(*args))
         ts.append((time.time() - t0) * 1e3)
@@ -65,7 +67,9 @@ def main() -> None:
     # transport; fetching bytes does (same sync bench.py uses). Each part
     # returns a scalar reduction so the fetch is 4 bytes, not the output.
     sync = lambda o: np.asarray(o)
-    NV = 3  # distinct input variants per part (transport memoization defeat)
+    # one distinct input variant per timed call + warmup: a repeat of a
+    # byte-identical request can be served from the transport memo cache
+    NV = reps + 1
 
     def mk(shape):
         return [jax.device_put(jax.random.normal(jax.random.PRNGKey(i), shape, dt))
