@@ -141,17 +141,16 @@ class CCAEngine(HeadEngine):
             probs, q_label, loss_type=cfg.get("loss_type", "wt_ce"), input_type="pb"
         )
 
+        # per-shot scanned MMN readout (bounds k-shot volume activations;
+        # see HeadEngine._mmn_att_shots); the MMN head needs no whole-loss
+        # remat on top (head_remat_default)
         def head_fwd(hv, fq_feats, fs_feats, f_q, f_s, rng_h):
-            return self.head.apply(
-                {"params": hv}, fq_feats, fs_feats, f_q, f_s, ret_shots=True,
-                deterministic=det, rngs=None if det else {"dropout": rng_h},
-            )
+            att_shots = self._mmn_att_shots(
+                {"params": hv}, fq_feats, fs_feats, f_q, f_s, rng_h, det)
+            # MMN's internal mean is over ALL shots (reference parity)
+            att_fq = jnp.mean(att_shots, axis=0, keepdims=True)
+            return None, att_fq, att_shots
 
-        from .heads import head_remat_default
-
-        # the CCA head is MMN — shared per-head remat policy
-        if head_remat_default(cfg, self.head_type) and not det:
-            head_fwd = jax.checkpoint(head_fwd)
         loss_train, fq_feats, fs_feats = trainables, parts["fq_feats"], parts["fs_feats"]
         f_q_in, f_s_in = parts["f_q"], parts["f_s"]
         if cfg.get("use_amp", False) and not det:

@@ -45,13 +45,16 @@ HEAD_TYPES = ("mmn", "detr", "match", "chm", "att", "asy", "fuse")
 def head_remat_default(cfg, head_type: str) -> bool:
     """Whole-loss remat policy: cfg.remat_head wins; None means per-head.
 
-    The NeighConsensus-based heads (mmn/match/fuse/detr — and the CCA
-    engine, whose head is MMN) carry per-block remat inside the stack
+    At 1-shot, the NeighConsensus-based heads (mmn/match/fuse/detr — and the
+    CCA engine, whose head is MMN) carry per-block remat inside the stack
     (models/matching.py) that already bounds the ~2 GB/episode volume
     activations, so the outer recompute is redundant — dropping it measured
-    +34% on the driver bench (2.17 -> 2.90 eps/s, 473px MMN step). CHM's
-    4D/6D convolutions have no block-level remat and keep the checkpoint;
-    att/asy hold no volume activations.
+    +34% on the driver bench (2.17 -> 2.90 eps/s, 473px MMN step), with
+    every head fit-checked on the chip. At shot > 1 the MMN volumes are
+    bounded by the per-shot scan instead (_mmn_att_shots) — the whole-loss
+    checkpoint neither helps nor is needed there. CHM's 4D/6D convolutions
+    have no block-level remat and always keep it; att/asy hold no volume
+    activations either way.
     """
     want = cfg.get("remat_head", None)
     if want is not None:
@@ -206,14 +209,45 @@ class HeadEngine:
         out["s_valid"] = parts["s_valid"][sel]
         return out
 
+    def _mmn_att_shots(self, head_vars, fq_feats, fs_feats, f_q, f_s,
+                       rng, det):
+        """Per-shot MMN attention readouts, (shot, h, w, C).
+
+        shot == 1: one batched apply. shot > 1: a sequential ``lax.map``
+        over the shot axis with per-shot rematerialization — the
+        reference's per-shot Python loop (src/train_kshot.py:159-180) as a
+        compiled scan. Shot-batching the backward instead demands HBM
+        proportional to the shot count (measured 67 GB at 5-shot 473px,
+        with or without a whole-loss checkpoint); the scan bounds the
+        (h,w,hs,ws,10) correlation-volume activations to ONE shot's worth.
+        """
+
+        def apply_one(fs_feats_k, f_s_k, rng_k):
+            _, _, att = self.head.apply(
+                head_vars, fq_feats, fs_feats_k, f_q, f_s_k, ret_shots=True,
+                deterministic=det, rngs=None if det else {"dropout": rng_k},
+            )
+            return att
+
+        shot = f_s.shape[0]
+        if shot == 1:
+            return apply_one(fs_feats, f_s, rng)
+
+        def one(args):
+            fs_k, f_s_k, rng_k = args
+            return apply_one(jax.tree.map(lambda t: t[None], fs_k),
+                             f_s_k[None], rng_k)[0]
+
+        rngs = jax.random.split(rng, shot)
+        return jax.lax.map(jax.checkpoint(one), (fs_feats, f_s, rngs))
+
     def _loss_mmn(self, head_vars, parts, episode, rng, det=False):
         cfg = self.cfg
         parts = self._select_support_stream(parts, episode)
         crit = lambda lg: seg_loss(lg, episode["q_label"], loss_type=cfg.get("loss_type", "wt_ce"))
-        _, _, att_shots = self.head.apply(
+        att_shots = self._mmn_att_shots(
             head_vars, parts["fq_feats"], parts["fs_feats"], parts["f_q"],
-            parts["f_s"], ret_shots=True, deterministic=det,
-            rngs=None if det else {"dropout": rng},
+            parts["f_s"], rng, det,
         )
         # average the per-shot readouts over VALID shots only (random_shot
         # pads must not enter the mean; reference averages the true shots,
