@@ -165,3 +165,47 @@ def test_two_process_multihost(tmp_path):
     # process-0 logging gate: only proc 0 prints the validate lines
     assert "mIoU---Val result" in outs[0]
     assert "mIoU---Val result" not in outs[1]
+
+
+def test_sharded_kshot_head_step_matches_unsharded():
+    """Mesh DP composed with the per-shot MMN scan (_mmn_att_shots): a
+    2-shot head train step sharded over the 8-device mesh must match the
+    unsharded step exactly."""
+    from few_shot_seg_cwt_tpu.config import default_cfg
+    from few_shot_seg_cwt_tpu.data.synthetic import make_episode_batch
+    from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+    from few_shot_seg_cwt_tpu.train.train_head import init_head_trainables
+
+    cfg = default_cfg()
+    cfg.image_size = 33
+    cfg.adapt_iter = 2
+    cfg.shot = 2
+    cfg.rmid = "l34"
+    cfg.att_wt = 0.2
+    engine = HeadEngine(cfg, "mmn")
+    probe = jnp.zeros((1, 33, 33, 3), jnp.float32)
+    vars_b = engine.backbone.init(
+        {"params": jax.random.PRNGKey(0)}, probe, train=False)
+    trainables = init_head_trainables(cfg, engine, vars_b)
+    opt = build_optimizer(cfg, base_lr=0.05, use_schedule=False)
+    step = engine.make_train_step(opt)
+
+    e = 8
+    host = make_episode_batch(seed=5, e=e, size=33, shot=2)
+    episodes = {k: host[k] for k in ("s_img", "s_label", "q_img", "q_label", "cls")}
+    key = jax.random.PRNGKey(11)
+
+    t_ref, _, m_ref = step(trainables, opt.init(trainables), vars_b,
+                           episodes, key, None)
+
+    mesh = make_mesh([8], ("data",))
+    t_got, _, m_got = step(
+        replicate(trainables, mesh), replicate(opt.init(trainables), mesh),
+        replicate(vars_b, mesh), shard_batch(episodes, mesh), key, None,
+    )
+    np.testing.assert_allclose(float(m_got["loss_mean"]),
+                               float(m_ref["loss_mean"]), rtol=1e-5)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        t_got, jax.tree.map(jnp.asarray, t_ref))
+    assert max(jax.tree.leaves(diffs)) < 1e-5
