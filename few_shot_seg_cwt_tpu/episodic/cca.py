@@ -143,7 +143,8 @@ class CCAEngine(HeadEngine):
 
         # per-shot scanned MMN readout (bounds k-shot volume activations;
         # see HeadEngine._mmn_att_shots); the MMN head needs no whole-loss
-        # remat on top (head_remat_default)
+        # remat on top by default, but an explicit `remat_head True` still
+        # forces the checkpoint (head_remat_default honors the override)
         def head_fwd(hv, fq_feats, fs_feats, f_q, f_s, rng_h):
             att_shots = self._mmn_att_shots(
                 {"params": hv}, fq_feats, fs_feats, f_q, f_s, rng_h, det)
@@ -151,6 +152,10 @@ class CCAEngine(HeadEngine):
             att_fq = jnp.mean(att_shots, axis=0, keepdims=True)
             return None, att_fq, att_shots
 
+        from .heads import head_remat_default
+
+        if head_remat_default(cfg, self.head_type) and not det:
+            head_fwd = jax.checkpoint(head_fwd)
         loss_train, fq_feats, fs_feats = trainables, parts["fq_feats"], parts["fs_feats"]
         f_q_in, f_s_in = parts["f_q"], parts["f_s"]
         if cfg.get("use_amp", False) and not det:

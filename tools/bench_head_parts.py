@@ -68,63 +68,71 @@ def main() -> None:
     # returns a scalar reduction so the fetch is 4 bytes, not the output.
     sync = lambda o: np.asarray(o)
     # one distinct input variant per timed call + warmup: a repeat of a
-    # byte-identical request can be served from the transport memo cache
+    # byte-identical request can be served from the transport memo cache.
+    # Each part materializes ITS OWN reps+1 variants just before timing and
+    # frees them after — holding all parts' variant lists at once scales
+    # device memory by reps (the (1,60,60,60,60,10) volume alone is 518 MB,
+    # so reps=30 would exceed HBM before any timing ran).
     NV = reps + 1
 
     def mk(shape):
         return [jax.device_put(jax.random.normal(jax.random.PRNGKey(i), shape, dt))
                 for i in range(NV)]
 
-    f1024 = mk((1, h, h, 1024))
-    f2048 = mk((1, h, h, 2048))
-    vol2 = mk((1, h, h, h, h, 2))
-    vol10 = mk((1, h, h, h, h, 10))
-    corr2d = mk((1, h * h, h * h))
-    v512 = mk((1, h, h, 512))
+    SHAPES = {
+        "f1024": (1, h, h, 1024),
+        "f2048": (1, h, h, 2048),
+        "vol2": (1, h, h, h, h, 2),
+        "vol10": (1, h, h, h, h, 10),
+        "corr2d": (1, h * h, h * h),
+        "v512": (1, h, h, 512),
+    }
+    probe = {k: jnp.zeros(v, dt) for k, v in SHAPES.items()}  # init-only
 
     results = []
 
-    def rec(part, fn, *arg_lists):
-        variants = list(zip(*arg_lists)) if arg_lists else [()]
+    def rec(part, fn, *arg_names, consts=()):
+        arg_lists = [mk(SHAPES[n]) for n in arg_names]
+        variants = [tuple(consts) + args for args in zip(*arg_lists)]
         scalar_fn = jax.jit(lambda *a: jax.tree.reduce(
             lambda acc, t: acc + jnp.sum(t.astype(jnp.float32)), fn(*a),
             jnp.float32(0)))
         ms, p90 = _time(scalar_fn, variants, reps, sync)
+        del arg_lists, variants  # free this part's device buffers
         results.append({"part": part, "ms": round(ms, 2),
                         "ms_p90": round(p90, 2), "dtype": dtype_arg})
         print(json.dumps(results[-1]), flush=True)
 
-    const = lambda x: [x] * NV  # same module vars for every variant
-
     rec("corr_1024+2048", lambda a, b: (get_corr(a, a), get_corr(b, b)),
-        f1024, f2048)
+        "f1024", "f2048")
 
     wa = WeightAverage()
-    wa_vars = wa.init(key, f1024[0])
-    rec("wa_1024", lambda v, x: wa.apply(v, x), const(wa_vars), f1024)
+    wa_vars = wa.init(key, probe["f1024"])
+    rec("wa_1024", lambda v, x: wa.apply(v, x), "f1024", consts=(wa_vars,))
 
-    rec("mm_vol2", mutual_matching, vol2)
-    rec("mm_vol10", mutual_matching, vol10)
+    rec("mm_vol2", mutual_matching, "vol2")
+    rec("mm_vol10", mutual_matching, "vol10")
 
     piv_a = CenterPivotConv4d(out_channels=10)
-    pa_vars = piv_a.init(key, vol2[0])
-    rec("pivot_2to10", lambda v, x: piv_a.apply(v, x), const(pa_vars), vol2)
+    pa_vars = piv_a.init(key, probe["vol2"])
+    rec("pivot_2to10", lambda v, x: piv_a.apply(v, x), "vol2", consts=(pa_vars,))
 
     piv_b = CenterPivotConv4d(out_channels=10)
-    pb_vars = piv_b.init(key, vol10[0])
-    rec("pivot_10to10", lambda v, x: piv_b.apply(v, x), const(pb_vars), vol10)
+    pb_vars = piv_b.init(key, probe["vol10"])
+    rec("pivot_10to10", lambda v, x: piv_b.apply(v, x), "vol10",
+        consts=(pb_vars,))
 
     ncons = NeighConsensus(kernel_sizes=(3, 3, 3), channels=(10, 10, 1))
-    nc_vars = ncons.init(key, vol2[0])
-    rec("ncons_fwd", lambda v, x: ncons.apply(v, x), const(nc_vars), vol2)
+    nc_vars = ncons.init(key, probe["vol2"])
+    rec("ncons_fwd", lambda v, x: ncons.apply(v, x), "vol2", consts=(nc_vars,))
 
     def nc_loss(params, x):
         return jnp.mean(ncons.apply(params, x).astype(jnp.float32))
 
-    rec("ncons_grad", jax.grad(nc_loss), const(nc_vars), vol2)
+    rec("ncons_grad", jax.grad(nc_loss), "vol2", consts=(nc_vars,))
 
     rec("readout", lambda c, v: masked_attention_readout(c, v, temp=20.0),
-        corr2d, v512)
+        "corr2d", "v512")
 
 
 if __name__ == "__main__":
