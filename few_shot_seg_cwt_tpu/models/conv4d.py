@@ -74,6 +74,17 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+def _promote(x: jnp.ndarray, kernel: jnp.ndarray):
+    """nn.Conv's dtype promotion: input and kernel meet at their common type.
+
+    Under use_amp the head params are bf16 while the correlation volume is
+    f32 (get_corr accumulates f32) — lax.conv requires matching dtypes, and
+    the previous nn.Conv-based implementation promoted both to f32.
+    """
+    dt = jnp.promote_types(x.dtype, kernel.dtype)
+    return x.astype(dt), kernel.astype(dt)
+
+
 def _conv_query_planes(x: jnp.ndarray, kernel: jnp.ndarray,
                        strides, padding, bias=None) -> jnp.ndarray:
     """Conv over dims (1, 2) of (B, h, w, hs, ws, C), batched over (hs, ws).
@@ -89,6 +100,7 @@ def _conv_query_planes(x: jnp.ndarray, kernel: jnp.ndarray,
     """
     b, h, w, hs, ws, c = x.shape
     kh, kw, ci, co = kernel.shape
+    x, kernel = _promote(x, kernel)
     t = x.transpose(0, 3, 4, 1, 2, 5).reshape(b * hs * ws, h, w, c)
     dn = jax.lax.conv_dimension_numbers(
         t.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
@@ -111,6 +123,7 @@ def _conv_support_planes(x: jnp.ndarray, kernel: jnp.ndarray,
     Bias on the immediate conv output (see _conv_query_planes)."""
     b, h, w, hs, ws, c = x.shape
     kh, kw, ci, co = kernel.shape
+    x, kernel = _promote(x, kernel)
     dn = jax.lax.conv_dimension_numbers(
         (b * h * w, hs, ws, c), (kh, kw, ci, co), ("NHWC", "HWIO", "NHWC")
     )

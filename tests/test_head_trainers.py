@@ -228,3 +228,15 @@ def test_cca1_trainer_exact_resume(tmp_path, monkeypatch):
     _assert_trees_equal(state_a, state_b)
 
 
+
+
+@pytest.mark.slow
+def test_mmn_trainer_use_amp_smoke():
+    """use_amp (bf16 head compute) through the MMN volume path: the f32
+    correlation volume meets bf16 conv params — the conv helpers must
+    promote like nn.Conv did (regression: lax.conv dtype mismatch)."""
+    from few_shot_seg_cwt_tpu.train.train_head import main
+
+    cfg = _smoke_cfg()
+    cfg = merge_cfg_from_list(cfg, ["use_amp", "True"])
+    assert np.isfinite(main(cfg, head_type="mmn"))
