@@ -187,3 +187,41 @@ def test_head_engine_use_amp_backbone_cast():
     denom = np.abs(np.asarray(p32["f_q"])).mean() + 1e-6
     rel = np.abs(np.asarray(pamp["f_q"]) - np.asarray(p32["f_q"])).mean() / denom
     assert rel < 0.15, rel
+
+
+def test_scanned_shot_readout_equals_batched():
+    """_mmn_att_shots' per-shot lax.map (shot > 1) must equal a direct
+    batched MMN apply in deterministic mode — the scan exists for memory,
+    not semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from few_shot_seg_cwt_tpu.config import default_cfg
+    from few_shot_seg_cwt_tpu.data.synthetic import make_episode_batch
+    from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+    from few_shot_seg_cwt_tpu.train.common import init_backbone
+    from few_shot_seg_cwt_tpu.train.train_head import init_head_trainables
+
+    cfg = default_cfg()
+    cfg.image_size = 33
+    cfg.adapt_iter = 2
+    cfg.shot = 3
+    cfg.rmid = "l34"
+    cfg.att_wt = 0.2
+    engine = HeadEngine(cfg, "mmn")
+    vars_b = init_backbone(cfg, engine)
+    trainables = init_head_trainables(cfg, engine, vars_b)
+
+    host = make_episode_batch(seed=7, e=1, size=33, shot=3)
+    episode = {k: jnp.asarray(v[0]) for k, v in host.items()}
+    rng = jax.random.PRNGKey(3)
+    parts = engine.episode_parts(vars_b, episode, rng)
+
+    scanned = engine._mmn_att_shots(
+        {"params": trainables}, parts["fq_feats"], parts["fs_feats"],
+        parts["f_q"], parts["f_s"], rng, det=True)
+    _, _, batched = engine.head.apply(
+        {"params": trainables}, parts["fq_feats"], parts["fs_feats"],
+        parts["f_q"], parts["f_s"], ret_shots=True, deterministic=True)
+    np.testing.assert_allclose(np.asarray(scanned), np.asarray(batched),
+                               rtol=2e-4, atol=2e-5)
