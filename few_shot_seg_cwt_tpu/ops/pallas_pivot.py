@@ -39,7 +39,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas import is safe everywhere; execution is TPU-only
     from jax.experimental import pallas as pl
