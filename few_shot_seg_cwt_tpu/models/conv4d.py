@@ -217,8 +217,12 @@ class CenterPivotConv4d(nn.Module):
         from ..ops.pallas_pivot import (on_tpu, pivot_conv_flat,
                                         pivot_kernel_available)
 
-        assert tuple(self.stride) == (1, 1, 1, 1), (
-            "flat layout supports stride 1 only", self.stride)
+        if tuple(self.stride) != (1, 1, 1, 1):
+            # a hard error (not assert): under python -O or a new caller
+            # passing flat_dims with a strided config this must not degrade
+            # to silently wrong shapes
+            raise ValueError(
+                f"flat layout supports stride 1 only, got {self.stride}")
         wa, wb = (ks, kq) if swap_roles else (kq, ks)
         bias = (bq + bs) if self.use_bias else jnp.zeros(
             (self.out_channels,), jnp.float32)

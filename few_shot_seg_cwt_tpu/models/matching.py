@@ -86,7 +86,8 @@ class NeighConsensus(nn.Module):
             from ..ops.pallas_pivot import pivot_pallas_active
 
             dims = tuple(int(d) for d in flat_dims)
-            if not (self.conv == "red" and pivot_pallas_active()):
+            if not (self.conv == "red"
+                    and pivot_pallas_active(self.kernel_sizes)):
                 # default path: ONE layout conversion around the whole 6D
                 # stack (the per-block Pallas path is exact but measured
                 # slower than XLA's convs on v5e — BENCH.md "Pivot kernel
@@ -210,7 +211,7 @@ class MatchNet(nn.Module):
         from ..ops.pallas_pivot import pivot_pallas_active
 
         hq, wq, hs, ws = (int(d) for d in dims)
-        if self.cv_type == "red" and pivot_pallas_active():
+        if self.cv_type == "red" and pivot_pallas_active(self.cv_kernels):
             corr = mutual_matching_flat(corr)
             corr = self.consensus(corr, flat_dims=dims)
             corr = mutual_matching_flat(corr)

@@ -279,7 +279,9 @@ class PSPNet(nn.Module):
         )
         self.bottleneck_conv = conv(self.bottleneck_dim, 3, name="bottleneck_conv")
         self.bottleneck_bn = nn.BatchNorm(
-            momentum=0.9, epsilon=1e-5, axis_name=self.axis_name, name="bottleneck_bn"
+            momentum=0.9, epsilon=1e-5, axis_name=self.axis_name,
+            use_fast_variance=False,  # torch's two-pass var; see resnet.batch_norm
+            name="bottleneck_bn"
         )
         self.drop = nn.Dropout(rate=self.dropout, broadcast_dims=(-3, -2))
         if self.dist == "dot":
@@ -339,7 +341,14 @@ class PSPNet(nn.Module):
 
 
 def build_pspnet(cfg, axis_name: Optional[str] = None) -> PSPNet:
-    """Construct a PSPNet from a flat config (reference get_model, pspnet.py:15)."""
+    """Construct a PSPNet from a flat config (reference get_model, pspnet.py:15).
+
+    ``axis_name`` wires BN cross-replica stat reduction for shard_map/pmap
+    per-device programs ONLY. The jit trainers never pass it — under jit's
+    global-array semantics batch-stat BN already reduces over the global
+    sharded batch (SyncBN-equivalent; proven by
+    tests/test_parallel.py::test_pretrain_bn_syncbn_equivalence).
+    """
     # stage-boundary activation casts only for a MIXED dtype policy; the
     # uniform-bf16 path keeps the engine-level whole-tree cast (no boundaries)
     policy = stage_dtype_policy(cfg)

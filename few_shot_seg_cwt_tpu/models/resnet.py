@@ -50,12 +50,21 @@ def conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
 
 def batch_norm(train: bool, name: Optional[str] = None,
                axis_name: Optional[str] = None) -> nn.BatchNorm:
-    """BatchNorm2d parity: eps 1e-5, torch momentum 0.1 (flax momentum 0.9)."""
+    """BatchNorm2d parity: eps 1e-5, torch momentum 0.1 (flax momentum 0.9).
+
+    use_fast_variance=False: the two-pass variance (mean((x-mean)^2)) is what
+    torch BatchNorm computes; flax's one-pass default (E[x^2]-E[x]^2)
+    catastrophically cancels for low-batch-variance activations (e.g. the
+    PPM's 1x1-pooled bins), which made mesh-sharded live-BN pretraining
+    diverge from the unsharded step at 1e-4 when XLA re-associated the two
+    big sums (tests/test_parallel.py::test_pretrain_bn_syncbn_equivalence).
+    """
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
         axis_name=axis_name if train else None,
+        use_fast_variance=False,
         name=name,
     )
 

@@ -324,7 +324,10 @@ def _pivot_fwd(x, wa, wb, bias, dims: Tuple[int, int, int, int],
         for t in range(nco)
     ]
     out = tiles[0] if nco == 1 else jnp.concatenate(tiles, axis=0)
-    return out.reshape(co, hq * wq, s).astype(x.dtype)
+    # mirror nn.Conv/_promote semantics: bf16 x with f32 weights must come
+    # out f32 like the XLA 6D path, not truncate to the input dtype
+    return out.reshape(co, hq * wq, s).astype(
+        jnp.promote_types(x.dtype, wa.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("co", "dims", "interpret"))
@@ -448,7 +451,7 @@ def on_tpu() -> bool:
         return False
 
 
-def pivot_pallas_active() -> bool:
+def pivot_pallas_active(kernel_sizes=None) -> bool:
     """Is the (opt-in) Pallas pivot path enabled for this process?
 
     Default off: the kernel is exact and HBM-traffic-optimal but measured
@@ -457,11 +460,19 @@ def pivot_pallas_active() -> bool:
     availability gates with pivot_kernel_available so the stack-level and
     per-block dispatch decisions can never disagree (a disagreement would
     interleave flat and 6D stages, the HBM-peak pattern run_match_model_flat
-    exists to avoid).
+    exists to avoid). ``kernel_sizes`` (one per NeighConsensus block) makes
+    the gate structural too: a non-default config (e.g. 5x5 blocks) whose
+    per-block dispatch would fall back to 6D math disables the flat route
+    up front, so flat and 6D stages can never interleave.
     """
     import os
 
     if not HAVE_PALLAS or os.environ.get("FSS_DISABLE_PALLAS") == "1":
+        return False
+    if kernel_sizes is not None and not all(
+        pivot_kernel_available((k,) * 4, (1,) * 4, (k // 2,) * 4)
+        for k in kernel_sizes
+    ):
         return False
     if os.environ.get("FSS_PIVOT_INTERPRET") == "1":
         return True

@@ -12,10 +12,13 @@ cosine schedule stepped per iteration (src:120-121); best-val-mIoU model
 selection with standard or episodic validation (src:79-80).
 
 TPU-native: the whole optimization step (forward with batch-stat BN, loss,
-grads for both groups, update) is one jitted program; batch-stat BN reduces
-over the device batch (pass a mesh to shard the batch for data-parallel
-pretraining — BN stats then reduce per shard, the JAX analogue of
-per-GPU BN; SyncBN-exact cross-shard stats are a config knob via axis_name).
+grads for both groups, update) is one jitted program. Data-parallel
+pretraining shards the image batch over the mesh; under jit's global-array
+semantics batch-stat BN normalizes over the GLOBAL batch regardless of the
+sharding (XLA inserts the cross-device reductions), which IS the reference's
+SyncBatchNorm semantics (src/train_ddp.py:106) — no axis_name plumbing
+needed. Proven sharded-vs-unsharded to reduction-order rounding in
+tests/test_parallel.py::test_pretrain_bn_syncbn_equivalence.
 """
 
 from __future__ import annotations
@@ -234,9 +237,10 @@ def main(cfg) -> float:
     optimizer = param_group_optimizer(cfg, params, iters_per_epoch)
     opt_state = optimizer.init(params)
     step = make_pretrain_step(model, optimizer, cfg)
-    # data-parallel pretraining: shard the image batch over the device mesh
-    # (batch-stat BN then reduces over the full global batch under jit —
-    # SyncBN semantics for free)
+    # data-parallel pretraining: shard the image batch over the device mesh.
+    # Batch-stat BN reduces over the full GLOBAL batch under jit (SyncBN
+    # semantics, src/train_ddp.py:106) — verified sharded-vs-unsharded by
+    # tests/test_parallel.py::test_pretrain_bn_syncbn_equivalence
     mesh_cfg = cfg.clone()
     mesh_cfg.episode_batch = cfg.batch_size
     mesh = maybe_mesh(mesh_cfg)

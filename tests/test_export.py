@@ -165,6 +165,70 @@ def test_export_head_serve_roundtrip(tmp_path):
     assert np.asarray(served).min() >= 0 and np.asarray(served).max() <= 1
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("head,extra", [
+    ("mmn", {}),
+    ("match", {}),
+    ("chm", {"image_size": 41}),
+    ("detr", {}),
+    ("fuse", {}),
+])
+def test_export_head_serve_all_servable(head, extra, tmp_path):
+    """Every SERVABLE head: (a) the deterministic prediction is provably
+    label-free (identical under two different q_labels — the structural
+    guarantee serve_episode's zeros-label DCE argument rests on), and
+    (b) the exported artifact reproduces the live engine bit-for-bit.
+    A future _loss_* edit that leaks label-derived values into preds['pred']
+    fails (a) instead of silently serving against an all-zeros label."""
+    import jax
+    import jax.export
+
+    from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+    from few_shot_seg_cwt_tpu.tools.export_serve import build_head_serve_export
+    from few_shot_seg_cwt_tpu.train.common import init_backbone
+    from few_shot_seg_cwt_tpu.train.train_head import (init_frozen_match,
+                                                       init_head_trainables)
+
+    cfg = _cfg(rmid="l34", temp=20.0, att_wt=0.2, **extra)
+    engine = HeadEngine(cfg, head)
+    vars_b = init_backbone(cfg, engine)
+    trainables = init_head_trainables(cfg, engine, vars_b)
+    frozen = init_frozen_match(cfg, engine) if head == "fuse" else None
+
+    batch = _episode_batch(cfg, e=1)
+    ep = {k: v[0] for k, v in batch.items()}
+    rng = jax.random.PRNGKey(3)
+
+    # (a) label independence of the deterministic prediction
+    @jax.jit
+    def pred_with_label(q_label):
+        e = dict(ep)
+        e["q_label"] = q_label
+        parts = engine.episode_parts(vars_b, e, rng)
+        if head == "fuse":
+            _, preds = engine._loss_fuse({"params": trainables}, parts, e,
+                                         rng, frozen, det=True)
+        else:
+            _, preds = getattr(engine, f"_loss_{head}")(
+                {"params": trainables}, parts, e, rng, det=True)
+        return preds["pred"]
+
+    size = cfg.image_size
+    zeros = np.zeros((size, size), np.int32)
+    noisy = np.random.default_rng(7).integers(0, 2, (size, size)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(pred_with_label(zeros)),
+                                  np.asarray(pred_with_label(noisy)))
+
+    # (b) export -> restore -> bit-equal with the live engine
+    rngs = jax.vmap(jax.random.PRNGKey)(np.arange(1))
+    live = jax.vmap(engine.serve_episode, in_axes=(None, None, 0, 0, None))(
+        vars_b, trainables, batch, rngs, frozen)
+    exported = build_head_serve_export(cfg, head, vars_b, trainables, frozen, 1)
+    restored = jax.export.deserialize(exported.serialize())
+    served = restored.call(batch, rngs)
+    np.testing.assert_array_equal(np.asarray(served), np.asarray(live))
+
+
 def test_head_serve_rejects_label_dependent_heads():
     import pytest as _pytest
 

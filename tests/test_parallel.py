@@ -112,6 +112,80 @@ def test_validate_transformer_with_mesh(setup):
     assert 0.0 <= miou <= 1.0 and np.isfinite(loss)
 
 
+def test_pretrain_bn_syncbn_equivalence():
+    """Live-BN stage-1 pretraining sharded over the mesh == unsharded on the
+    same global batch — the SyncBN proof (reference src/train_ddp.py:106
+    nn.SyncBatchNorm): under jit's global-array semantics, batch-stat BN
+    normalizes over the GLOBAL batch regardless of how it is sharded; XLA
+    inserts the cross-device reductions, no axis_name plumbing involved.
+
+    Bit-identity is not attainable and not the right bar: sharding a batch
+    reduction reassociates the f32 sums, and this network's backward
+    amplifies reassociation rounding through 1/sqrt(var+eps) of
+    near-degenerate BN variances (the PPM's pooled bins at init). Measured
+    discriminator: PERMUTING the unsharded batch — mathematically a no-op
+    through BN and the mean loss — deviates the one-step grads by the same
+    ~2e-2 max as sharding does. The assertion is therefore self-calibrating:
+    the sharded step must agree with the unsharded step at least as well as
+    the unsharded step agrees with its own batch-permuted rerun (x3 slack),
+    plus tight absolute agreement on loss and the BN batch_stats themselves.
+    """
+    from few_shot_seg_cwt_tpu.models.pspnet import build_pspnet
+    from few_shot_seg_cwt_tpu.train.pretrain import (make_pretrain_step,
+                                                     param_group_optimizer)
+
+    cfg = default_cfg()
+    cfg.image_size = 33
+    cfg.num_classes_tr = 16
+    cfg.mixup = False
+    cfg.dropout = 0.0  # permuting the batch must stay a semantic no-op
+    model = build_pspnet(cfg)
+    probe = jnp.zeros((1, 33, 33, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, probe, train=False)
+    )()
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    optimizer = param_group_optimizer(cfg, params, iters_per_epoch=4)
+    opt_state = optimizer.init(params)
+    step = make_pretrain_step(model, optimizer, cfg)
+
+    r = np.random.default_rng(21)
+    img = r.normal(0, 0.5, (16, 33, 33, 3)).astype(np.float32)
+    gt = r.integers(0, 16, (16, 33, 33)).astype(np.int32)
+    key = jax.random.PRNGKey(13)
+
+    p_ref, bs_ref, _, m_ref = step(params, batch_stats, opt_state, img, gt, key)
+
+    # reassociation calibrator: same math, batch order permuted
+    perm = np.asarray(np.random.default_rng(5).permutation(16))
+    p_perm, bs_perm, _, m_perm = step(
+        params, batch_stats, opt_state, img[perm], gt[perm], key)
+
+    mesh = make_mesh([8], ("data",))
+    p_got, bs_got, _, m_got = step(
+        replicate(params, mesh), replicate(batch_stats, mesh),
+        replicate(opt_state, mesh),
+        shard_batch(img, mesh), shard_batch(gt, mesh), key,
+    )
+
+    def tree_max_dev(a, b):
+        return max(float(jnp.abs(jnp.asarray(x) - jnp.asarray(y)).max())
+                   for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    np.testing.assert_allclose(np.asarray(m_got["loss"]),
+                               np.asarray(m_ref["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_perm["loss"]),
+                               np.asarray(m_ref["loss"]), rtol=1e-5)
+
+    # BN's accumulated running stats agree tightly (the direct SyncBN claim)
+    assert tree_max_dev(bs_got, bs_ref) < 5e-4
+    # and the full updated param tree deviates no more than the benign
+    # reassociation envelope (floor guards a degenerate 0-deviation perm)
+    envelope = max(tree_max_dev(p_perm, p_ref), 1e-6)
+    dev = tree_max_dev(p_got, p_ref)
+    assert dev <= 3.0 * envelope, (dev, envelope)
+
+
 @pytest.mark.slow  # the driver runs dryrun_multichip directly every round
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
