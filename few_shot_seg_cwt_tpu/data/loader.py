@@ -78,13 +78,14 @@ class EpisodeLoader:
         self.epoch = epoch
 
     def _index_stream(self) -> Iterator[int]:
-        # NOTE (multi-host validation bias): every rank pads to ceil(n/world)
-        # by cyclic wrap, so up to world-1 dataset indices repeat per pass —
-        # the same bias as torch's DistributedSampler (the reference's val
-        # path, src/dataset/dataset.py:57-68). For the episodic samplers a
-        # repeated index still draws a fresh random episode; only
-        # deterministic datasets (replay) see true duplicates, which is why
-        # parity replay runs are single-process (data/replay.py).
+        # Multi-host wrap bias, BOUNDED: every rank pads to ceil(n/world) by
+        # cyclic wrap, so across ranks at most (world*ceil(n/world) - n) <=
+        # world-1 dataset indices repeat per pass — the same padding as
+        # torch's DistributedSampler (the reference's val path,
+        # src/dataset/dataset.py:57-68); tests/test_data.py quantifies it.
+        # For the episodic samplers a repeated index still draws a fresh
+        # random episode (no bias); deterministic replay would double-score
+        # episodes, so episodic_val_loader REFUSES replay with world > 1.
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)

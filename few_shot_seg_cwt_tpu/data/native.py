@@ -28,6 +28,8 @@ def load_library() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
+    if os.environ.get("FSS_NATIVE_DISABLE") == "1":  # A/B the python tail
+        return None
     path = os.environ.get("FSS_NATIVE_LIB", _lib_path())
     if not os.path.exists(path):
         path = _try_build(path)

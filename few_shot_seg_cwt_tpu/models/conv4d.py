@@ -205,16 +205,12 @@ class CenterPivotConv4d(nn.Module):
         return out
 
     def _flat(self, x, kq, ks, bq, bs, swap_roles, fuse_relu, dims):
-        """(B, C, Q, S) path: Pallas pivot kernel (opt-in), 6D math otherwise.
-
-        The Pallas kernel is exact and HBM-traffic-optimal but measured
-        VPU-issue-bound on v5e: 67 ms vs XLA's ~25 ms for a 10->10 pivot at
-        the 473px protocol (BENCH.md "Pivot kernel refutation") — so it
-        stays env-gated (FSS_PIVOT_PALLAS=1) rather than the default.
-        """
+        """(B, C, Q, S) path: a Pallas pivot kernel when one is enabled
+        (pivot_impl: "mxu" dot-form or the round-3 "vpu" FMA form), 6D math
+        otherwise."""
         import os
 
-        from ..ops.pallas_pivot import (on_tpu, pivot_conv_flat,
+        from ..ops.pallas_pivot import (pivot_conv_flat, pivot_impl,
                                         pivot_kernel_available)
 
         if tuple(self.stride) != (1, 1, 1, 1):
@@ -227,10 +223,14 @@ class CenterPivotConv4d(nn.Module):
         bias = (bq + bs) if self.use_bias else jnp.zeros(
             (self.out_channels,), jnp.float32)
         interpret = os.environ.get("FSS_PIVOT_INTERPRET") == "1"
-        if (os.environ.get("FSS_PIVOT_PALLAS") == "1" or interpret) and (
-                pivot_kernel_available(self.kernel_size, self.stride,
-                                       self.padding)
-                and (on_tpu() or interpret)):
+        impl = pivot_impl() if pivot_kernel_available(
+            self.kernel_size, self.stride, self.padding) else None
+        if impl == "mxu":
+            from ..ops.pallas_pivot_mxu import pivot_conv_flat_mxu
+
+            return pivot_conv_flat_mxu(x, wa, wb, bias, dims=dims,
+                                       relu=fuse_relu, interpret=interpret)
+        if impl == "vpu":
             return pivot_conv_flat(x, wa, wb, bias, dims=dims,
                                    relu=fuse_relu, interpret=interpret)
         # fallback: run the 6D math (tests/CPU; transposes are fine there)

@@ -451,29 +451,52 @@ def on_tpu() -> bool:
         return False
 
 
-def pivot_pallas_active(kernel_sizes=None) -> bool:
-    """Is the (opt-in) Pallas pivot path enabled for this process?
+def pivot_impl():
+    """Which Pallas pivot formulation is enabled for this process.
 
-    Default off: the kernel is exact and HBM-traffic-optimal but measured
-    VPU-issue-bound on v5e — 67 ms vs XLA's ~25 ms for one 10->10 pivot at
-    the 473px protocol (BENCH.md "Pivot kernel refutation"). Shares the
-    availability gates with pivot_kernel_available so the stack-level and
-    per-block dispatch decisions can never disagree (a disagreement would
-    interleave flat and 6D stages, the HBM-peak pattern run_match_model_flat
-    exists to avoid). ``kernel_sizes`` (one per NeighConsensus block) makes
-    the gate structural too: a non-default config (e.g. 5x5 blocks) whose
-    per-block dispatch would fall back to 6D math disables the flat route
-    up front, so flat and 6D stages can never interleave.
+    Returns "mxu", "vpu", or None:
+
+    * "mxu" — the dot-form kernel (ops/pallas_pivot_mxu.py): taps*Ci on the
+      MXU contraction dim, support positions on the lanes. Opt-in via
+      FSS_PIVOT_MXU=1 until the on-chip A/B lands in BENCH.md.
+    * "vpu" — the round-3 scalar-FMA kernel, opt-in via FSS_PIVOT_PALLAS=1;
+      exact and HBM-optimal but measured VPU-issue-bound on v5e (67 ms,
+      BENCH.md "Pivot kernel refutation") — kept as the integration point
+      if a future Mosaic/part changes the calculus.
+    * None — XLA 6D math.
+
+    FSS_PIVOT_INTERPRET=1 forces the interpreter path (CPU tests) for
+    whichever formulation is selected (mxu unless FSS_PIVOT_PALLAS=1).
     """
     import os
 
     if not HAVE_PALLAS or os.environ.get("FSS_DISABLE_PALLAS") == "1":
-        return False
+        return None
+    interpret = os.environ.get("FSS_PIVOT_INTERPRET") == "1"
+    if os.environ.get("FSS_PIVOT_PALLAS") == "1":
+        return "vpu" if (on_tpu() or interpret) else None
+    if os.environ.get("FSS_PIVOT_MXU") == "1" and (on_tpu() or interpret):
+        return "mxu"
+    if interpret:  # interpret-only: exercise the primary (mxu) formulation
+        return "mxu"
+    return None
+
+
+def pivot_pallas_active(kernel_sizes=None) -> bool:
+    """Is a Pallas pivot path enabled for this process?
+
+    Shares the availability gates with pivot_kernel_available so the
+    stack-level and per-block dispatch decisions can never disagree (a
+    disagreement would interleave flat and 6D stages, the HBM-peak pattern
+    run_match_model_flat exists to avoid). ``kernel_sizes`` (one per
+    NeighConsensus block) makes the gate structural too: a non-default
+    config (e.g. 5x5 blocks) whose per-block dispatch would fall back to 6D
+    math disables the flat route up front, so flat and 6D stages can never
+    interleave.
+    """
     if kernel_sizes is not None and not all(
         pivot_kernel_available((k,) * 4, (1,) * 4, (k // 2,) * 4)
         for k in kernel_sizes
     ):
         return False
-    if os.environ.get("FSS_PIVOT_INTERPRET") == "1":
-        return True
-    return os.environ.get("FSS_PIVOT_PALLAS") == "1" and on_tpu()
+    return pivot_impl() is not None

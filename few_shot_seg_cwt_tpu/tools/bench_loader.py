@@ -53,6 +53,50 @@ def fabricate_tree(root: str, n_images: int, side: int = 500) -> str:
     return lst
 
 
+def _sweep(ns):
+    """workers x native grid, one subprocess per point; prints each point's
+    JSON line plus a final summary row (the BENCH.md worker-scaling table)."""
+    import subprocess
+
+    points = []
+    for native_on in (True, False):
+        for workers in (1, 2, 4, 8):
+            env = dict(os.environ)
+            if not native_on:
+                env["FSS_NATIVE_DISABLE"] = "1"
+            cmd = [sys.executable, "-m",
+                   "few_shot_seg_cwt_tpu.tools.bench_loader",
+                   "--episodes", str(ns.episodes), "--batch", str(ns.batch),
+                   "--workers", str(workers),
+                   "--image-size", str(ns.image_size), "--shot", str(ns.shot),
+                   "--images", str(ns.images),
+                   "--device-rate", str(ns.device_rate)]
+            if ns.data_root and ns.list_file:
+                cmd += ["--data-root", ns.data_root, "--list", ns.list_file]
+            out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            r["workers"] = workers
+            r["native"] = native_on
+            points.append(r)
+            print(json.dumps(r), flush=True)
+    best = max(points, key=lambda r: r["value"])
+    print(json.dumps({
+        "metric": f"host loader worker-scaling sweep ({ns.shot}-shot "
+                  f"@{ns.image_size}px, host cpus={os.cpu_count()})",
+        "best_eps_per_sec": best["value"],
+        "best_workers": best["workers"],
+        "best_native": best["native"],
+        "chips_fed_at_device_rate": best["chips_fed_at_device_rate"],
+        "curve_native": {str(r["workers"]): r["value"]
+                         for r in points if r["native"]},
+        "curve_python": {str(r["workers"]): r["value"]
+                         for r in points if not r["native"]},
+    }))
+    return points
+
+
 def main(argv=None):
     from ..config import default_cfg
     from ..data.episodic import EpisodicDataset
@@ -71,7 +115,15 @@ def main(argv=None):
     ap.add_argument("--list", dest="list_file", default=None)
     ap.add_argument("--device-rate", type=float, default=100.0,
                     help="device episodes/sec/chip to compare against")
+    ap.add_argument("--sweep", action="store_true",
+                    help="measure a workers -> eps/s curve (1/2/4/8) with the "
+                         "native transform tail on and off; one subprocess "
+                         "per point (clean thread pools, native A/B via "
+                         "FSS_NATIVE_DISABLE)")
     ns = ap.parse_args(argv)
+
+    if ns.sweep:
+        return _sweep(ns)
 
     cfg = default_cfg()
     cfg.image_size = ns.image_size

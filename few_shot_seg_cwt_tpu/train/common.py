@@ -113,6 +113,17 @@ def episodic_val_loader(cfg) -> EpisodeLoader:
     holds P DISTINCT episode slices (the DistributedSampler analog,
     reference src/dataset/dataset.py:57-68) — not P copies of slice 0.
     """
+    if cfg.get("replay") and jax.process_count() > 1:
+        # the rank-strided index stream pads every rank to the same length by
+        # cyclic wrap (up to P-1 repeated indices per pass). Episodic samplers
+        # re-randomize a repeated index, but replay is DETERMINISTIC: a wrap
+        # duplicate would double-score a recorded episode and silently bias
+        # the parity number — refuse instead of documenting it away.
+        raise ValueError(
+            "replay evaluation is single-process only: the multi-host "
+            "rank-padded index stream would duplicate recorded episodes "
+            f"(process_count={jax.process_count()}); run the parity replay "
+            "on one process (single-host mesh DP is fine)")
     return EpisodeLoader(
         episodic_dataset(cfg, train=False),
         batch_size=_local_batch(int(cfg.episode_batch)),
