@@ -124,6 +124,11 @@ def main() -> None:
     cfg.shot = shot
     # time-decomposition knob: 0 isolates backbone+CWT cost (protocol is 200)
     cfg.adapt_iter = int(os.environ.get("BENCH_ADAPT_ITER", cfg.adapt_iter))
+    # generic overrides: BENCH_OPTS="key value key value ..." (--opts grammar)
+    if os.environ.get("BENCH_OPTS"):
+        from few_shot_seg_cwt_tpu.config import merge_cfg_from_list
+
+        cfg = merge_cfg_from_list(cfg, os.environ["BENCH_OPTS"].split())
     engine = EpisodicEngine(cfg)
 
     devices = jax.devices()
@@ -441,6 +446,23 @@ def main() -> None:
         "eps_per_sec_chip_p90": spread["p90"],
         "timed_batches": n_batches,
     }
+    # peak HBM, two sources: the runtime allocator's live view (absent on
+    # some transports) and the compiler's static reservation for the timed
+    # program — the number that decides whether a batch size fits
+    try:
+        stats = devices[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            result["peak_hbm_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 3)
+    except Exception:
+        pass
+    try:
+        mem = compiled.memory_analysis()
+        hbm = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+               + mem.output_size_in_bytes + mem.generated_code_size_in_bytes)
+        result["program_hbm_gb"] = round(hbm / 2**30, 3)
+        result["program_temp_gb"] = round(mem.temp_size_in_bytes / 2**30, 3)
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

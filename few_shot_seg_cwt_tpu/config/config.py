@@ -102,6 +102,9 @@ _DEFAULTS: Dict[str, Any] = {
     "adapt_iter": 200,
     "inner_loss_type": "wt_ce",
     "loss_shot": "avg",        # k-shot loss aggregation: 'avg' | 'sum'
+    "shot_tile": 1,            # k-shot MMN scan chunk: shots vmapped per
+                               # lax.map step (memory x tile, chain / tile);
+                               # must divide shot, else sequential
     "use_amp": False,          # reference AMP flag; maps to bf16 compute here
     "tp": 1.0,                 # Adapt_SegLoss weight exponent
     # ---- model ----

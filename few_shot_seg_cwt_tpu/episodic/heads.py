@@ -239,6 +239,16 @@ class HeadEngine:
                              f_s_k[None], rng_k)[0]
 
         rngs = jax.random.split(rng, shot)
+        # shot_tile > 1 processes the scan in vmapped CHUNKS of that many
+        # shots (lax.map batch_size): activation memory scales by the tile
+        # while the chain shortens by it — the dial between the fully
+        # sequential reference loop (tile 1) and the 67-GB fully shot-batched
+        # backward that does not fit at 473px. The tile must divide the shot
+        # count (lax.map would otherwise add a ragged remainder program).
+        tile = int(self.cfg.get("shot_tile", 1) or 1)
+        if tile > 1 and shot % tile == 0:
+            return jax.lax.map(jax.checkpoint(one), (fs_feats, f_s, rngs),
+                               batch_size=tile)
         return jax.lax.map(jax.checkpoint(one), (fs_feats, f_s, rngs))
 
     def _loss_mmn(self, head_vars, parts, episode, rng, det=False):

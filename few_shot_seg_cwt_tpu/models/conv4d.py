@@ -75,12 +75,19 @@ class _ConvParams(nn.Module):
 
 
 def _promote(x: jnp.ndarray, kernel: jnp.ndarray):
-    """nn.Conv's dtype promotion: input and kernel meet at their common type.
+    """Conv compute dtype: autocast-faithful under AMP, promoted otherwise.
 
     Under use_amp the head params are bf16 while the correlation volume is
-    f32 (get_corr accumulates f32) — lax.conv requires matching dtypes, and
-    the previous nn.Conv-based implementation promoted both to f32.
+    f32 (get_corr accumulates f32). The reference's torch.cuda.amp autocasts
+    its convolutions to HALF precision (src/train_kshot.py:146-190), so when
+    the kernel arrives bf16 we cast the volume DOWN and run the conv in bf16
+    (f32 accumulation via preferred_element_type below) — which also halves
+    the MXU's im2col ingest, the measured floor of these tiny-channel 4D
+    convs (BENCH.md round 4). With f32 kernels (no AMP) both meet at f32,
+    like the previous nn.Conv-based implementation.
     """
+    if kernel.dtype == jnp.bfloat16:
+        return x.astype(jnp.bfloat16), kernel
     dt = jnp.promote_types(x.dtype, kernel.dtype)
     return x.astype(dt), kernel.astype(dt)
 

@@ -23,11 +23,21 @@ def l2norm(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
 
 
 def get_corr(q_feat: jnp.ndarray, k_feat: jnp.ndarray) -> jnp.ndarray:
-    """Cosine correlation of two NHWC feature maps -> (B, Nq, Nk)."""
+    """Cosine correlation of two NHWC feature maps -> (B, Nq, Nk).
+
+    Accumulates f32 on the MXU always; under AMP (bf16 features) the volume
+    is EMITTED bf16 — torch.cuda.amp autocasts the reference's bmm to half
+    (src/model/model_util.py:101-109 under train_kshot's autocast), and the
+    half-width volume is what halves the downstream mutual-matching and
+    4D-conv ingest (the measured head-step floor, BENCH.md round 4).
+    """
     b, h, w, c = q_feat.shape
     q = l2norm(q_feat.reshape(b, h * w, c), axis=-1)
     k = l2norm(k_feat.reshape(b, -1, c), axis=-1)
-    return jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+    if q_feat.dtype == jnp.bfloat16:
+        out = out.astype(jnp.bfloat16)
+    return out
 
 
 def mutual_matching(corr: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -83,5 +93,8 @@ def masked_attention_readout(
         values = values.reshape(b, h * w, c)
     if ig_mask is not None:
         corr2d = jnp.where(ig_mask[:, None, :], ig_fill, corr2d)
-    attn = jax.nn.softmax(corr2d * temp, axis=-1)
-    return jnp.einsum("bqs,bsc->bqc", attn, values, preferred_element_type=jnp.float32)
+    # softmax in f32 even when the volume is AMP-bf16: torch.cuda.amp lists
+    # softmax as an fp32 op, and a 3600-way bf16 softmax loses real mass
+    attn = jax.nn.softmax(corr2d.astype(jnp.float32) * temp, axis=-1)
+    return jnp.einsum("bqs,bsc->bqc", attn, values.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)

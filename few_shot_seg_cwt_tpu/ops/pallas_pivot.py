@@ -457,8 +457,13 @@ def pivot_impl():
     Returns "mxu", "vpu", or None:
 
     * "mxu" — the dot-form kernel (ops/pallas_pivot_mxu.py): taps*Ci on the
-      MXU contraction dim, support positions on the lanes. Opt-in via
-      FSS_PIVOT_MXU=1 until the on-chip A/B lands in BENCH.md.
+      MXU contraction dim, support positions on the lanes. Exact on-chip
+      (1.9e-7 vs XLA) but REFUTED as a win: 39.8 ms/pivot fwd vs XLA's
+      ~25 ms bare / 49.9 ms flat-route, and 2.32 vs 2.90 eps/s on the full
+      MMN train step — both implementations sit at the im2col INGEST floor
+      (every volume element enters the MXU once per tap; ~28 ms at f32),
+      and the custom VJP rebuilds the im2col twice. Opt-in via
+      FSS_PIVOT_MXU=1 (BENCH.md round 4 "MXU pivot refutation").
     * "vpu" — the round-3 scalar-FMA kernel, opt-in via FSS_PIVOT_PALLAS=1;
       exact and HBM-optimal but measured VPU-issue-bound on v5e (67 ms,
       BENCH.md "Pivot kernel refutation") — kept as the integration point

@@ -68,7 +68,7 @@ def _support_masks(ci: int, hs: int, ws: int):
     return hs_m, ws_m
 
 
-def _fill_im2col(a_ref, refs, ci: int, wq_i: int, wq: int, ws: int,
+def _fill_im2col(a_ref, refs, ci: int, wq_i, wq: int, ws: int,
                  hs_m, ws_m) -> None:
     """Store the 18 (Ci, S) tap rows for query position (grid row, wq_i)
     into the im2col scratch a_ref (18*Ci, S).
@@ -77,21 +77,23 @@ def _fill_im2col(a_ref, refs, ci: int, wq_i: int, wq: int, ws: int,
     then 9 support taps (ds outer, dt inner); each row is one full input
     channel set, so A row index = tap*Ci + ci. Rows go through VMEM stores
     (not jnp.concatenate): Mosaic's concatenate requires matching internal
-    vector offsets, which rolled/sliced taps do not have.
+    vector offsets, which rolled/sliced taps do not have. ``wq_i`` is a
+    TRACED index (the caller loops wq with fori_loop — a static 60-way
+    unroll produced a Mosaic program that compiled for >20 minutes); the
+    wq edges are masked by a scalar validity factor instead of branches.
     """
+    f32 = jnp.float32
     t = 0
     for dh in (-1, 0, 1):
         ref, ok = refs[dh]
         for dw in (-1, 0, 1):
             j = wq_i + dw
-            if 0 <= j < wq:
-                a_ref[t * ci:(t + 1) * ci, :] = (
-                    ref[:, 0, j, :].astype(jnp.float32) * ok)
-            else:
-                a_ref[t * ci:(t + 1) * ci, :] = jnp.zeros(
-                    (ci, a_ref.shape[1]), jnp.float32)
+            jc = jnp.clip(j, 0, wq - 1)
+            v = ok * jnp.where((j >= 0) & (j < wq), f32(1), f32(0))
+            a_ref[t * ci:(t + 1) * ci, :] = (
+                ref[:, 0, jc, :].astype(f32) * v)
             t += 1
-    cur = refs[0][0][:, 0, wq_i, :].astype(jnp.float32)
+    cur = refs[0][0][:, 0, wq_i, :].astype(f32)
     for ds in (-1, 0, 1):
         for dt in (-1, 0, 1):
             off = ds * ws + dt
@@ -128,7 +130,8 @@ def _mxu_fwd_kernel(ci: int, co: int, wq: int, hs: int, ws: int, relu: bool,
     w = wflat_ref[:].astype(f32)
     bias = bias_ref[:].astype(f32)                     # (Co, 1)
     prec = _dot_precision()
-    for wq_i in range(wq):
+
+    def body(wq_i, carry):
         _fill_im2col(a_ref, refs, ci, wq_i, wq, ws, hs_m, ws_m)
         y = jax.lax.dot_general(
             w, a_ref[:], (((1,), (0,)), ((), ())),
@@ -137,6 +140,9 @@ def _mxu_fwd_kernel(ci: int, co: int, wq: int, hs: int, ws: int, relu: bool,
         if relu:
             y = jnp.maximum(y, 0.0)
         out_ref[:, 0, wq_i, :] = y.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, wq, body, 0)
 
 
 def _mxu_dw_kernel(ci: int, co: int, wq: int, hs: int, ws: int,
@@ -165,9 +171,9 @@ def _mxu_dw_kernel(ci: int, co: int, wq: int, hs: int, ws: int,
     refs = {-1: (xp_ref, up_ok), 0: (xc_ref, 1.0), 1: (xn_ref, dn_ok)}
 
     prec = _dot_precision()
-    dw_acc = jnp.zeros(dw_ref.shape, f32)
-    db_acc = jnp.zeros(db_ref.shape, f32)
-    for wq_i in range(wq):
+
+    def body(wq_i, accs):
+        dw_acc, db_acc = accs
         _fill_im2col(a_ref, refs, ci, wq_i, wq, ws, hs_m, ws_m)
         g = g_ref[:, 0, wq_i, :].astype(f32)           # (Co, S)
         dw_acc = dw_acc + jax.lax.dot_general(
@@ -175,6 +181,11 @@ def _mxu_dw_kernel(ci: int, co: int, wq: int, hs: int, ws: int,
             preferred_element_type=f32, precision=prec,
         )                                              # (Co, 18*Ci)
         db_acc = db_acc + jnp.sum(g, axis=1, keepdims=True)
+        return dw_acc, db_acc
+
+    dw_acc, db_acc = jax.lax.fori_loop(
+        0, wq, body, (jnp.zeros(dw_ref.shape, f32),
+                      jnp.zeros(db_ref.shape, f32)))
     dw_ref[:, :] += dw_acc
     db_ref[:, :] += db_acc
 

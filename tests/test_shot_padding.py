@@ -225,3 +225,14 @@ def test_scanned_shot_readout_equals_batched():
         parts["f_q"], parts["f_s"], ret_shots=True, deterministic=True)
     np.testing.assert_allclose(np.asarray(scanned), np.asarray(batched),
                                rtol=2e-4, atol=2e-5)
+
+    # shot_tile chunks the scan (vmapped groups) without changing results;
+    # a tile that does not divide the shot count falls back to sequential
+    for tile in (3, 2):
+        engine.cfg.shot_tile = tile
+        tiled = engine._mmn_att_shots(
+            {"params": trainables}, parts["fq_feats"], parts["fs_feats"],
+            parts["f_q"], parts["f_s"], rng, det=True)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(scanned),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"tile={tile}")
+    engine.cfg.shot_tile = 1

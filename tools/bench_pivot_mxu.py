@@ -35,9 +35,13 @@ def main():
     xs = [jax.device_put(jax.random.normal(jax.random.PRNGKey(i),
                                            (1, ci, h * h, h * h), jnp.float32))
           for i in range(NV)]
-    wa = jax.random.normal(jax.random.PRNGKey(100), (3, 3, ci, co), jnp.float32)
-    wb = jax.random.normal(jax.random.PRNGKey(101), (3, 3, ci, co), jnp.float32)
-    bias = jax.random.normal(jax.random.PRNGKey(102), (co,), jnp.float32)
+    # PIVOT_DTYPE=bf16 hands the convs bf16 weights — the autocast path
+    # (_promote demotes the volume, halving the MXU's im2col ingest)
+    wdt = (jnp.bfloat16 if os.environ.get("PIVOT_DTYPE") == "bf16"
+           else jnp.float32)
+    wa = jax.random.normal(jax.random.PRNGKey(100), (3, 3, ci, co), wdt)
+    wb = jax.random.normal(jax.random.PRNGKey(101), (3, 3, ci, co), wdt)
+    bias = jax.random.normal(jax.random.PRNGKey(102), (co,), wdt)
 
     mod = CenterPivotConv4d(out_channels=co)
     params = {"params": {
