@@ -260,15 +260,9 @@ class CenterPivotConv4d(nn.Module):
             b, self.out_channels, oh * ow, ohs * ows)
 
 
-def conv4d(x: jnp.ndarray, kernel: jnp.ndarray,
-           bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Full stride-1 4D convolution, decomposed into shifted 3D convs.
-
-    x: (B, h, w, hs, ws, C_in); kernel: (k0, k1, k2, k3, C_in, C_out);
-    padding k//2 on every spatial dim (size preserving). Matches the
-    reference's looped-conv3d semantics (src/model/conv4d.py:65-106 and
-    src/model/base/chm.py:12-37) without the Python-level output indexing.
-    """
+def _conv4d_fwd(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 same-padding 4D conv as shifted 3D convs (the fast-compiling
+    form: XLA:TPU emits a forward conv3d at these shapes in ~10 s)."""
     b, h, w, hs, ws, c_in = x.shape
     k = kernel.shape[:4]
     c_out = kernel.shape[-1]
@@ -290,7 +284,111 @@ def conv4d(x: jnp.ndarray, kernel: jnp.ndarray,
             dimension_numbers=dn,
         )
         out = o if out is None else out + o
-    out = out.reshape(b, h, w, hs, ws, c_out)
+    return out.reshape(b, h, w, hs, ws, c_out)
+
+
+def _conv4d_dk(x: jnp.ndarray, g: jnp.ndarray, k) -> jnp.ndarray:
+    """Kernel gradient of the stride-1 same-padding 4D conv, emitted as ONE
+    scanned small-batch 2D kernel-grad instruction.
+
+    XLA:TPU's conv kernel-grad emitter is compile-pathological at this
+    problem's sizes (isolated probes on v5e: 3D kgrad at 120^3 batch 1 =
+    202 s, 2D kgrad at batch 14400 = 91 s, the full conv4d dk = 384 s —
+    vs 27 s for a 2D kgrad at batch ~120). So dk is computed exactly as
+    dk[p,q,r,s,ci,co] = sum over positions of xpad[., h+p, w+q, hs+r,
+    ws+s, ci] * g[., h, w, hs, ws, co], scanned over (p, q, h): each step
+    dynamic-slices one h-plane of the padded volume and runs the 2D
+    kernel-grad over (hs, ws) with (b*w) as the batch — one conv HLO total,
+    reused by every step, compiling in tens of seconds instead of minutes.
+    """
+    b, h, w, hs, ws, ci = x.shape
+    co = g.shape[-1]
+    k0, k1, k2, k3 = k
+    p2, p3 = k2 // 2, k3 // 2
+    xp = jnp.pad(x, ((0, 0), (k0 // 2,) * 2, (k1 // 2,) * 2,
+                     (p2, p2), (p3, p3), (0, 0)))
+
+    kshape = (k2, k3, ci, co)
+    g5 = g.transpose(1, 0, 2, 3, 4, 5).reshape(h, b * w, hs, ws, co)
+
+    def kgrad2d(sl, gg):
+        # sl: (b*w, hs+2*p2, ws+2*p3, ci); gg: (b*w, hs, ws, co)
+        def conv2(k2d):
+            dn = jax.lax.conv_dimension_numbers(sl.shape, kshape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            return jax.lax.conv_general_dilated(
+                sl, k2d, (1, 1), "VALID", dimension_numbers=dn)
+
+        _, vjp_fn = jax.vjp(conv2, jnp.zeros(kshape, x.dtype))
+        (dk2,) = vjp_fn(gg)
+        return dk2                                      # (k2, k3, ci, co)
+
+    def body(acc, i):
+        p = i // (k1 * h)
+        rem = i % (k1 * h)
+        q = rem // h
+        hh = rem % h
+        sl = jax.lax.dynamic_slice(
+            xp, (0, hh + p, q, 0, 0, 0),
+            (b, 1, w, hs + 2 * p2, ws + 2 * p3, ci),
+        ).reshape(b * w, hs + 2 * p2, ws + 2 * p3, ci)
+        dk2 = kgrad2d(sl, g5[hh])
+        cur = jax.lax.dynamic_slice(acc, (p, q, 0, 0, 0, 0),
+                                    (1, 1, k2, k3, ci, co))
+        acc = jax.lax.dynamic_update_slice(
+            acc, cur + dk2[None, None], (p, q, 0, 0, 0, 0))
+        return acc, None
+
+    acc0 = jnp.zeros((k0, k1, k2, k3, ci, co), x.dtype)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(k0 * k1 * h))
+    return acc
+
+
+def _flip_k(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Spatially flipped, (ci,co)-transposed kernel — the conv whose forward
+    computes the 4D conv's input gradient (stride 1, same padding, odd k)."""
+    return kernel[::-1, ::-1, ::-1, ::-1].transpose(0, 1, 2, 3, 5, 4)
+
+
+@jax.custom_vjp
+def _conv4d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    return _conv4d_fwd(x, kernel)
+
+
+def _conv4d_vjp_fwd(x, kernel):
+    return _conv4d_fwd(x, kernel), (x, kernel)
+
+
+def _conv4d_vjp_bwd(res, g):
+    x, kernel = res
+    # dx: the same fast-compiling forward with the flipped kernel (XLA's own
+    # transposed-conv grad also compiles fast — ~7 s — but routing through
+    # our forward keeps ONE conv formulation in the program)
+    dx = _conv4d_fwd(g, _flip_k(kernel))
+    dk = _conv4d_dk(x, g, kernel.shape[:4])
+    return dx, dk
+
+
+_conv4d.defvjp(_conv4d_vjp_fwd, _conv4d_vjp_bwd)
+
+
+def conv4d(x: jnp.ndarray, kernel: jnp.ndarray,
+           bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Full stride-1 4D convolution, decomposed into shifted 3D convs.
+
+    x: (B, h, w, hs, ws, C_in); kernel: (k0, k1, k2, k3, C_in, C_out);
+    padding k//2 on every spatial dim (size preserving). Matches the
+    reference's looped-conv3d semantics (src/model/conv4d.py:65-106 and
+    src/model/base/chm.py:12-37) without the Python-level output indexing.
+    Custom VJP: the kernel gradient bypasses XLA:TPU's compile-pathological
+    conv-kernel-grad emitter (see _conv4d_dk) — this is what brought the
+    473px CHM train-step compile from ~13 minutes to under 3.
+    """
+    for ksz in kernel.shape[:4]:
+        if ksz % 2 != 1:
+            raise ValueError(f"conv4d supports odd kernels only, got "
+                             f"{kernel.shape[:4]}")
+    out = _conv4d(x, kernel)
     if bias is not None:
         out = out + bias
     return out

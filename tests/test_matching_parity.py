@@ -279,3 +279,33 @@ def test_neigh_consensus_symmetric_grads_flow(rng):
     # every kernel participates in both chains; grads must be nonzero
     norms = [float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g)]
     assert all(n > 0 for n in norms), norms
+
+
+def test_conv4d_custom_vjp_matches_autodiff(rng):
+    """conv4d's custom VJP (flipped-kernel dx + scanned 2D-kernel-grad dk —
+    the 473px CHM compile fix) must equal plain autodiff of the forward,
+    on deliberately distinct spatial dims, multi-channel, both kernel
+    sizes used by CHM (3 and 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from few_shot_seg_cwt_tpu.models.conv4d import _conv4d, _conv4d_fwd
+
+    for ksz, dims, ci, co in ((3, (2, 4, 5, 6, 7), 2, 3),
+                              (5, (1, 6, 7, 8, 9), 1, 1)):
+        b, h, w, hs, ws = dims
+        x = jnp.asarray(rng.standard_normal((b, h, w, hs, ws, ci))
+                        .astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((ksz,) * 4 + (ci, co))
+                        .astype(np.float32))
+        t = jnp.asarray(rng.standard_normal((b, h, w, hs, ws, co))
+                        .astype(np.float32))
+
+        gx, gk = jax.grad(lambda x_, k_: jnp.sum(_conv4d(x_, k_) * t),
+                          argnums=(0, 1))(x, k)
+        rx, rk = jax.grad(lambda x_, k_: jnp.sum(_conv4d_fwd(x_, k_) * t),
+                          argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"dx k={ksz}")
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"dk k={ksz}")

@@ -70,3 +70,57 @@ def probe_conv4d_grads():
 
 if __name__ == "__main__" and os.environ.get("CHM_PROBE_GRADS") == "1":
     probe_conv4d_grads()
+
+
+def probe_conv2d_kgrad():
+    """Compile time of ONE 2D kernel-grad at the CHM4d-slice shape."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((14400, 120, 120, 1), jnp.float32)  # (B*H*W, HS, WS, Ci)
+    k = jnp.zeros((5, 5, 1, 1), jnp.float32)
+
+    def loss(k):
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(2, 2), (2, 2)], dimension_numbers=dn))
+
+    t0 = time.time()
+    jax.jit(jax.grad(loss)).lower(k).compile()
+    print(f"conv2d kernel-grad @(14400,120,120,1) compile: "
+          f"{time.time()-t0:.1f}s", flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("CHM_PROBE_K2") == "1":
+    probe_conv2d_kgrad()
+
+
+def probe_kgrad_shapes():
+    """Kernel-grad compile time vs batch size / rank."""
+    import jax
+    import jax.numpy as jnp
+
+    def kg(name, shape, kshape, window):
+        x = jnp.zeros(shape, jnp.float32)
+        k = jnp.zeros(kshape, jnp.float32)
+        dims = ("NHWC", "HWIO", "NHWC") if len(shape) == 4 else \
+               ("NHWDC", "HWDIO", "NHWDC")
+        pad = [(w // 2,) * 2 for w in window]
+
+        def loss(k):
+            dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, dims)
+            return jnp.sum(jax.lax.conv_general_dilated(
+                x, k, (1,) * len(window), pad, dimension_numbers=dn))
+
+        t0 = time.time()
+        jax.jit(jax.grad(loss)).lower(k).compile()
+        print(f"kgrad {name}: {time.time()-t0:.1f}s", flush=True)
+
+    kg("3d b=1 (120^3)", (1, 120, 120, 120, 1), (5, 5, 5, 1, 1), (5, 5, 5))
+    kg("2d b=120 (120^2)", (120, 120, 120, 1), (5, 5, 1, 1), (5, 5))
+    kg("2d b=14400 c=9", (14400, 60, 60, 9), (5, 5, 9, 9), (5, 5))
+
+
+if __name__ == "__main__" and os.environ.get("CHM_PROBE_SHAPES") == "1":
+    probe_kgrad_shapes()
