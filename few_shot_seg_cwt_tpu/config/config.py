@@ -189,6 +189,14 @@ _DEFAULTS: Dict[str, Any] = {
                                # activations, so the outer recompute is
                                # redundant there (+36% measured when off);
                                # CHM's 4D/6D convs still need it
+    "remat_blocks": None,      # per-block remat inside NeighConsensus.
+                               # None = route default (models/matching.py
+                               # block_remat_default): off on the rank-4
+                               # consensus route (the recompute costs ~25%
+                               # of the step; the 473px mmn train step fits
+                               # without it — 13.7 GB fp32 / 8.1 GB bf16
+                               # measured at batch 4, incl. wa), on for the
+                               # 6D fallback (historical bounding behavior)
     "head_grad_accum": True,   # head train step: accumulate per-episode grads
                                # sequentially (exact; bounds HBM by 1 episode)
 

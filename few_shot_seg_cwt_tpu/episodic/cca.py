@@ -210,7 +210,16 @@ class CCAEngine(HeadEngine):
             out["cls"] = episode["cls"]
             return out
 
-        return jax.jit(jax.vmap(eval_one, in_axes=(None, None, 0, 0, None)))
+        # lax.map, not vmap: the rank-4 consensus route must not gain an
+        # episode batch dim (rank-5 transposes get catastrophically padded
+        # layouts on TPU — see HeadEngine.eval_metrics_batch)
+        def fn(trainables, vars_b, batch, rngs, frozen_vars):
+            return jax.lax.map(
+                lambda er: eval_one(trainables, vars_b, er[0], er[1],
+                                    frozen_vars),
+                (batch, rngs))
+
+        return jax.jit(fn)
 
 
 def make_base_preds_fn(cfg, engine: CCAEngine):

@@ -29,7 +29,7 @@ from ..models.att_zoo import build_attention_variant
 from ..models.chm import CHMLearner
 from ..models.detr import build_detr
 from ..models.fusion import FuseNet1
-from ..models.matching import MatchNet
+from ..models.matching import MatchNet, block_remat_default
 from ..models.mmn import build_mmn
 from ..models.pspnet import apply_classifier, build_pspnet, init_classifier_weights
 from ..ops.corr import get_corr
@@ -45,16 +45,18 @@ HEAD_TYPES = ("mmn", "detr", "match", "chm", "att", "asy", "fuse")
 def head_remat_default(cfg, head_type: str) -> bool:
     """Whole-loss remat policy: cfg.remat_head wins; None means per-head.
 
-    At 1-shot, the NeighConsensus-based heads (mmn/match/fuse/detr — and the
-    CCA engine, whose head is MMN) carry per-block remat inside the stack
-    (models/matching.py) that already bounds the ~2 GB/episode volume
-    activations, so the outer recompute is redundant — dropping it measured
-    +34% on the driver bench (2.17 -> 2.90 eps/s, 473px MMN step), with
-    every head fit-checked on the chip. At shot > 1 the MMN volumes are
-    bounded by the per-shot scan instead (_mmn_att_shots) — the whole-loss
+    The NeighConsensus-based heads (mmn/match/fuse/detr — and the CCA
+    engine, whose head is MMN) need no outer recompute: at 1-shot their
+    473px train step fits single-chip HBM with NO checkpointing at all on
+    the default rank-4 consensus route (13.7 GB fp32 at batch 4, measured
+    round 4; per-block remat is a separate knob, `remat_blocks` ->
+    models/matching.py block_remat_default, also off there). Dropping the
+    redundant outer remat measured +34% in round 3 and dropping the block
+    remat another ~15% in round 4. At shot > 1 the MMN volumes are bounded
+    by the per-shot scan instead (_mmn_att_shots) — the whole-loss
     checkpoint neither helps nor is needed there. CHM's 4D/6D convolutions
-    have no block-level remat and always keep it; att/asy hold no volume
-    activations either way.
+    have no block-level remat and always keep the whole-loss checkpoint;
+    att/asy hold no volume activations either way.
     """
     want = cfg.get("remat_head", None)
     if want is not None:
@@ -70,7 +72,9 @@ def build_head(cfg, head_type: str):
     if head_type == "match":
         return MatchNet(temp=cfg.temp, cv_type=cfg.get("conv4d", "red"),
                         sce=bool(cfg.get("sce", False)), cyc=bool(cfg.get("cyc", False)),
-                        sym_mode=True, in_channel=1)
+                        sym_mode=True, in_channel=1,
+                        block_remat=block_remat_default(
+                            cfg, cfg.get("conv4d", "red")))
     if head_type == "chm":
         return CHMLearner(ktype=cfg.get("ktype", "psi"), feat_dim=cfg.backbone_dim,
                           temp=cfg.temp)
@@ -550,7 +554,19 @@ class HeadEngine:
                 out[f"union{name}"] = union
             return out
 
-        fn = jax.vmap(eval_one, in_axes=(None, None, 0, 0, None))
+        # lax.map, not vmap: batching the episode axis over the rank-4
+        # consensus route turns its rank-4 transposes into rank-5 ones, for
+        # which XLA:TPU picks layouts with catastrophic padding (a 49 MB
+        # bf16 volume ballooned to 6.2 GB; the vmapped eval program then
+        # demanded 26 GB of HBM). The sequential map keeps each episode's
+        # program identical to the train step's per-episode forward, and
+        # eval is forward-only so there is no batching win to lose.
+        def fn(trainables, vars_b, batch, rngs, frozen_vars):
+            return jax.lax.map(
+                lambda er: eval_one(trainables, vars_b, er[0], er[1],
+                                    frozen_vars),
+                (batch, rngs))
+
         return jax.jit(fn)
 
     # serving: heads whose deterministic prediction is label-free. asy/att

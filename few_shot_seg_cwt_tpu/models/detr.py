@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.corr import l2norm
 from .deform import DeformAtt
-from .matching import MatchNet
+from .matching import MatchNet, block_remat_default
 
 _default_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
@@ -37,6 +37,7 @@ class DeTr(nn.Module):
     temp: float = 20.0
     att_wt: float = 0.5
     drop: bool = False
+    block_remat: bool = True
 
     def setup(self):
         self.adjust_conv = nn.Conv(
@@ -48,7 +49,7 @@ class DeTr(nn.Module):
         if self.cs_att:
             self.cross_trans = MatchNet(
                 temp=self.temp, cv_type="red", sce=False, sym_mode=True,
-                name="cross_trans",
+                name="cross_trans", block_remat=self.block_remat,
             )
         if self.sf_att:
             self.self_trans = DeformAtt(
@@ -102,4 +103,5 @@ def build_detr(cfg) -> DeTr:
         temp=cfg.temp,
         att_wt=cfg.att_wt,
         drop=bool(cfg.get("drop", False)),
+        block_remat=block_remat_default(cfg, "red"),
     )

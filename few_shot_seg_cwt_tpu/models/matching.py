@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.corr import (get_corr, l2norm, masked_attention_readout,
-                        mutual_matching, mutual_matching_flat)
+                        mutual_matching, mutual_matching_bqsc,
+                        mutual_matching_flat)
 from .conv4d import CenterPivotConv4d, Conv4d
 
 CONV4D = {"red": CenterPivotConv4d, "cv4": Conv4d}
@@ -36,22 +37,61 @@ def _swap_planes(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 3, 4, 1, 2, 5)
 
 
+def ncons_r4_active(cv_type: str) -> bool:
+    """True when the rank-4 (B, Q, S, C) consensus route is in effect.
+
+    The default TPU path for center-pivot stacks (round 4): the whole
+    mutual-matching + consensus pipeline stays rank-4 so the query-plane
+    transposes lower as fast rank-4 permutations instead of the ~3x-slower
+    6D plane swaps (measured 3.6 vs 11.2 ms per 518 MB volume — and XLA
+    canonicalizes any reshape-wrapped rank-4 transpose back into the slow
+    6D form, so the layout must hold end to end). ``FSS_NCONS_R4=0``
+    restores the 6D route; the opt-in Pallas pivot kernels take precedence
+    (they consume the channels-major flat layout).
+    """
+    import os
+
+    from ..ops.pallas_pivot import pivot_pallas_active
+
+    if cv_type != "red" or os.environ.get("FSS_NCONS_R4") == "0":
+        return False
+    return not pivot_pallas_active()
+
+
+def block_remat_default(cfg, cv_type: str) -> bool:
+    """Per-block remat policy for consensus stacks: cfg `remat_blocks` wins.
+
+    Default: OFF on the rank-4 route (the recompute costs ~25% of the head
+    train step and the 473px protocol fits single-chip HBM without it —
+    measured, BENCH.md round 4), ON for the 6D fallback (the historical
+    memory-bounding behavior).
+    """
+    want = cfg.get("remat_blocks", None)
+    if want is not None:
+        return bool(want)
+    return not ncons_r4_active(cv_type)
+
+
 class NeighConsensus(nn.Module):
     kernel_sizes: Sequence[int] = (3, 3, 3)
     channels: Sequence[int] = (10, 10, 1)
     symmetric_mode: bool = True
     conv: str = "red"
+    # Per-block rematerialization. The recompute costs ~25% of the train
+    # step (measured: rank-4 sym-stack grad 118 ms plain vs 158 ms with
+    # block remat); the rank-4 route fits the 473px protocol without it, so
+    # heads pass block_remat=False there (cfg `remat_blocks` overrides).
+    # Forward-only use (eval/serving) is unaffected either way.
+    block_remat: bool = True
 
     def setup(self):
         blocks = []
         for i, (ksz, ch) in enumerate(zip(self.kernel_sizes, self.channels)):
-            # remat each 4D-conv block: its 10-channel (h,w,hs,ws) output and
-            # the reshaped views inside are the dominant training activations
-            # (~1 GB/episode at 60x60 features); recomputing them in the
-            # backward keeps only the block INPUTS as residuals.
-            # Forward-only use (eval/serving) is unaffected by checkpointing.
-            # static_argnums: (self, x, swap_roles, fuse_relu, flat_dims) —
-            # all flags select the conv program at trace time.
+            # when remat'ing, each 4D-conv block recomputes in the backward
+            # so only the block INPUTS stay live as residuals (the
+            # 10-channel volume activations are ~1 GB/episode at 60x60).
+            # static_argnums: (self, x, swap_roles, fuse_relu, flat_dims,
+            # bqsc) — all flags select the conv program at trace time.
             base = CONV4D[self.conv]
             kwargs = dict(out_channels=ch, kernel_size=(ksz,) * 4,
                           padding=(ksz // 2,) * 4, use_bias=True,
@@ -59,14 +99,16 @@ class NeighConsensus(nn.Module):
             static = (2,)
             if base is CenterPivotConv4d:
                 kwargs["stride"] = (1,) * 4
-                static = (2, 3, 4)
-            blocks.append(nn.remat(base, static_argnums=static)(**kwargs))
+                static = (2, 3, 4, 5)
+            if self.block_remat:
+                base = nn.remat(base, static_argnums=static)
+            blocks.append(base(**kwargs))
         self.blocks = blocks
 
     def _stack(self, x: jnp.ndarray, swap_roles: bool = False) -> jnp.ndarray:
         for blk in self.blocks:
             if self.conv == "red":  # remat static_argnums needs all args present
-                x = nn.relu(blk(x, swap_roles, False, None))
+                x = nn.relu(blk(x, swap_roles, False, None, False))
             else:
                 x = nn.relu(blk(x, swap_roles))
         return x
@@ -76,8 +118,28 @@ class NeighConsensus(nn.Module):
         # backward memory by construction (residuals are the streamed block
         # inputs), so no extra remat wrapper is needed here
         for blk in self.blocks:
-            x = blk(x, swap_roles, True, dims)
+            x = blk(x, swap_roles, True, dims, False)
         return x
+
+    def _stack_bqsc(self, x: jnp.ndarray, dims, swap_roles: bool) -> jnp.ndarray:
+        for blk in self.blocks:
+            x = blk(x, swap_roles, True, dims, True)
+        return x
+
+    def bqsc(self, x: jnp.ndarray, dims) -> jnp.ndarray:
+        """Rank-4 route: x (B, h*w, hs*ws, C) -> (B, h*w, hs*ws, C_out).
+
+        Symmetric mode uses the role-swapped identity
+        ``swap(stack(swap(x))) == stack_with_exchanged_kernels(x)`` so there
+        are NO outer plane swaps; the only transposes left are the rank-4
+        permutations inside each pivot's query-plane conv. Exactly the 6D
+        math (tests/test_matching_r4.py).
+        """
+        dims = tuple(int(d) for d in dims)
+        if self.symmetric_mode:
+            return (self._stack_bqsc(x, dims, False)
+                    + self._stack_bqsc(x, dims, True))
+        return self._stack_bqsc(x, dims, False)
 
     def __call__(self, x: jnp.ndarray, flat_dims=None) -> jnp.ndarray:
         """x: (B, h, w, hs, ws, C) channels-last, or (B, C, h*w, hs*ws) when
@@ -178,6 +240,7 @@ class MatchNet(nn.Module):
     cv_kernels: Sequence[int] = (3, 3, 3)
     cv_channels: Sequence[int] = (10, 10, 1)
     ass_drop: float = 0.1
+    block_remat: bool = True
 
     def setup(self):
         if self.sce:
@@ -190,6 +253,7 @@ class MatchNet(nn.Module):
         self.consensus = NeighConsensus(
             kernel_sizes=tuple(self.cv_kernels), channels=tuple(self.cv_channels),
             symmetric_mode=self.sym_mode, conv=self.cv_type, name="ncons",
+            block_remat=self.block_remat,
         )
 
     def run_match_model(self, corr4d: jnp.ndarray) -> jnp.ndarray:
@@ -216,10 +280,30 @@ class MatchNet(nn.Module):
             corr = self.consensus(corr, flat_dims=dims)
             corr = mutual_matching_flat(corr)
             return corr[:, 0]
+        if ncons_r4_active(self.cv_type):
+            b, c = corr.shape[0], corr.shape[1]
+            if c == 1:
+                xr = corr.reshape(b, hq * wq, hs * ws, 1)   # free view
+            else:
+                xr = corr.transpose(0, 2, 3, 1)             # one rank-4 move
+            return self.run_match_model_bqsc(xr, dims)
         b, c = corr.shape[0], corr.shape[1]
         x6 = corr.reshape(b, c, hq, wq, hs, ws).transpose(0, 2, 3, 4, 5, 1)
         out = self.run_match_model(x6)[..., 0]
         return out.reshape(b, hq * wq, hs * ws)
+
+    def run_match_model_bqsc(self, xr: jnp.ndarray, dims) -> jnp.ndarray:
+        """Rank-4 pipeline: (B, h*w, hs*ws, C) volume -> (B, h*w, hs*ws).
+
+        The round-4 default TPU route (see ncons_r4_active): mutual matching
+        and the consensus stack all operate on the rank-4 layout, so every
+        transpose in the program is a fast rank-4 permutation. Identical
+        math to run_match_model (reference: src/model/match.py:142-157).
+        """
+        xr = mutual_matching_bqsc(xr)
+        xr = self.consensus.bqsc(xr, dims)
+        xr = mutual_matching_bqsc(xr)
+        return xr[..., 0]
 
     def __call__(
         self,
@@ -274,6 +358,22 @@ class MatchNet(nn.Module):
         assert corr.shape[1] == self.in_channel, (corr.shape, self.in_channel)
         h, w = int(dims[0]), int(dims[1])
         corr2d = self.run_match_model_flat(corr, tuple(int(d) for d in dims))
+        weighted_v = self._readout(corr2d, v, h, w)
+        if ret_attn:
+            return corr2d, weighted_v
+        return weighted_v
+
+    def corr_forward_bqsc(self, corr: jnp.ndarray, v: jnp.ndarray,
+                          dims, ret_attn: bool = False):
+        """Filter a rank-4 channels-last volume (B, h*w, hs*ws, L).
+
+        The zero-transpose entry for multi-channel builders (MMN stacks
+        get_corr outputs on the trailing axis so the volume is born in the
+        rank-4 route's layout).
+        """
+        assert corr.shape[-1] == self.in_channel, (corr.shape, self.in_channel)
+        h, w = int(dims[0]), int(dims[1])
+        corr2d = self.run_match_model_bqsc(corr, tuple(int(d) for d in dims))
         weighted_v = self._readout(corr2d, v, h, w)
         if ret_attn:
             return corr2d, weighted_v

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.corr import get_corr
-from .matching import MatchNet
+from .matching import MatchNet, block_remat_default
 from .msm import WeightAverage
 from .resnet import RESNET_DEPTHS
 
@@ -47,6 +47,7 @@ class MMN(nn.Module):
     att_drop: float = 0.0
     proj_drop: float = 0.0
     feature_channels: Sequence[int] = (256, 512, 1024, 2048)
+    block_remat: bool = True
 
     def setup(self):
         if self.wa or self.red_dim:
@@ -74,6 +75,7 @@ class MMN(nn.Module):
         self.corr_net = MatchNet(
             temp=self.temp, cv_type=self.cv_type, sce=False, cyc=False,
             sym_mode=True, in_channel=in_ch, name="corr_net",
+            block_remat=self.block_remat,
         )
 
     def _selected(self, feats: Dict) -> List:
@@ -109,15 +111,27 @@ class MMN(nn.Module):
                 fs_fea = self.wa_mods[str(bid)](fs_fea, deterministic=deterministic)
             corr_ch.append(get_corr(fq_fea, fs_fea))      # (shot, Nq, Ns)
 
-        # channels-major flat volume (shot, L, Nq, Ns) — get_corr's natural
-        # output layout; feeds the consensus stack (Pallas pivot kernel on
-        # TPU) with no whole-volume transpose anywhere in the pipeline
-        corr_flat = jnp.stack(corr_ch, axis=1)
-        if self.agg == "sum":
-            corr_flat = jnp.sum(corr_flat, axis=1, keepdims=True)
+        # stack the per-layer correlations directly in whichever layout the
+        # active consensus route consumes, so the multi-channel volume is
+        # BORN in that layout and no whole-volume transpose exists anywhere:
+        # rank-4 (shot, Nq, Ns, L) channels-last for the default rank-4
+        # route; channels-major (shot, L, Nq, Ns) for the Pallas pivot
+        # kernels / 6D fallback (get_corr's natural layout either way —
+        # stacking on a new axis is a layout choice, not a transpose).
+        from .matching import ncons_r4_active
 
-        attn, att_shots = self.corr_net.corr_forward_flat(
-            corr_flat, v=f_s, dims=(h, w, h, w), ret_attn=True)
+        if ncons_r4_active(self.cv_type):
+            corr_r4 = jnp.stack(corr_ch, axis=-1)
+            if self.agg == "sum":
+                corr_r4 = jnp.sum(corr_r4, axis=-1, keepdims=True)
+            attn, att_shots = self.corr_net.corr_forward_bqsc(
+                corr_r4, v=f_s, dims=(h, w, h, w), ret_attn=True)
+        else:
+            corr_flat = jnp.stack(corr_ch, axis=1)
+            if self.agg == "sum":
+                corr_flat = jnp.sum(corr_flat, axis=1, keepdims=True)
+            attn, att_shots = self.corr_net.corr_forward_flat(
+                corr_flat, v=f_s, dims=(h, w, h, w), ret_attn=True)
         att_fq = jnp.mean(att_shots, axis=0, keepdims=True)  # average over shots
         fq = f_q * (1.0 - self.att_wt) + att_fq * self.att_wt
         if ret_shots:
@@ -144,4 +158,5 @@ def build_mmn(cfg) -> MMN:
         att_wt=cfg.att_wt,
         att_drop=float(cfg.get("att_drop", 0.0)),
         proj_drop=float(cfg.get("proj_drop", 0.0)),
+        block_remat=block_remat_default(cfg, cfg.get("conv4d", "red")),
     )

@@ -66,6 +66,21 @@ def mutual_matching_flat(corr: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return corr * (corr_a * corr_b)
 
 
+def mutual_matching_bqsc(corr: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """mutual_matching on the rank-4 channels-last layout (B, Q, S, C).
+
+    Q = h*w (query pixels), S = hs*ws (support pixels); identical math to
+    the 6D and channels-major forms — per-channel max over all support
+    pixels / all query pixels. This is the layout of the rank-4 consensus
+    route (models/matching.py ncons_r4_active).
+    """
+    max_s = jnp.max(corr, axis=2, keepdims=True)
+    max_q = jnp.max(corr, axis=1, keepdims=True)
+    corr_a = corr / (max_s + eps)
+    corr_b = corr / (max_q + eps)
+    return corr * (corr_a * corr_b)
+
+
 def mutual_nn_filter(corr: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
     """Mutual nearest-neighbour filtering of a flattened (B, N, N) matrix."""
     src_max = jnp.max(corr, axis=2, keepdims=True)

@@ -109,9 +109,15 @@ def build_head_serve_export(cfg, head_type: str, vars_b, trainables,
     engine = HeadEngine(cfg, head_type)
 
     def serve(episodes, rngs):
-        return jax.vmap(
-            engine.serve_episode, in_axes=(None, None, 0, 0, None)
-        )(vars_b, trainables, episodes, rngs, frozen_vars)
+        # lax.map, not vmap: an episode batch dim over the rank-4 consensus
+        # route yields rank-5 transposes with catastrophically padded TPU
+        # layouts (HeadEngine.eval_metrics_batch has the numbers). Under
+        # --mesh this local map runs inside shard_map, so chips still
+        # predict their episode shards in parallel.
+        return jax.lax.map(
+            lambda er: engine.serve_episode(vars_b, trainables, er[0], er[1],
+                                            frozen_vars),
+            (episodes, rngs))
 
     size = int(cfg.image_size)
     shot = int(cfg.shot)
@@ -124,13 +130,24 @@ def build_head_serve_export(cfg, head_type: str, vars_b, trainables,
     if mesh is None:
         fn = jax.jit(serve)
     else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
         from ..parallel.mesh import data_sharding
 
         n = mesh.size
         if batch % n:
             raise ValueError(f"--batch {batch} must be divisible by mesh size {n}")
+        # shard_map (not bare jit): each chip runs the LOCAL lax.map over
+        # its episode shard — true data parallelism with the per-episode
+        # program intact (a global lax.map over a sharded axis would run
+        # sequentially with per-step collectives)
+        local = shard_map(
+            serve, mesh=mesh,
+            in_specs=({k: P("data") for k in specs}, P("data")),
+            out_specs=P("data"), check_rep=False)
         fn = jax.jit(
-            serve,
+            local,
             in_shardings=(
                 {k: data_sharding(mesh, v.ndim) for k, v in specs.items()},
                 data_sharding(mesh, 2),

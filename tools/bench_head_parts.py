@@ -1,22 +1,41 @@
 """Decomposition microbenchmark for the MMN/MatchNet head hot path.
 
-BENCH_MODE=head showed the mmn-head train step at ~2.2 eps/s fp32 (463 ms per
-episode) — two orders below the CWT eval/train programs. This tool times each
-stage of that program in isolation on the attached device so kernel work aims
-at the real bottleneck (reference hot path: src/train_kshot.py loss loop ->
-mmn.py forward -> match.py corr_forward -> conv4d.py):
+Times each stage of the extension-head train program on the attached device
+(reference hot path: src/train_kshot.py loss loop -> mmn.py forward ->
+match.py corr_forward -> conv4d.py):
 
-  corr        the two 3600x3600 cosine-correlation matmuls (1024/2048 ch)
-  wa          WeightAverage local attention on the stage features
-  mm          mutual_matching max-normalization of the (60,60,60,60,C) volume
-  pivot_a     one CenterPivotConv4d 2->10 (transpose + 2 convs + add)
-  pivot_b     one CenterPivotConv4d 10->10
-  ncons       the full symmetric NeighConsensus stack (2->10->10->1) forward
-  ncons_grad  value_and_grad of mean(ncons(x)) wrt params   [the train cost]
-  readout     softmax(corr*temp) @ v attention readout
+  corr          the 3600x3600 cosine-correlation matmuls (1024/2048 ch)
+  wa            WeightAverage local attention on the stage features
+  mm_vol10      mutual_matching fwd on the (60,60,60,60,10) volume
+  mm_vjp_vol10  mutual_matching fwd+bwd wrt input (the post-consensus one)
+  swap_vol10    one whole-volume plane transpose (symmetric mode)
+  pivot_2to10   one CenterPivotConv4d 2->10 fwd (2 conv2d + add)
+  pivot_10to10  one CenterPivotConv4d 10->10 fwd
+  ncons_fwd     the full symmetric NeighConsensus stack (2->10->10->1) fwd
+  ncons_grad    grad of mean(ncons(x)) wrt params   [the train cost]
+  readout       softmax(corr*temp) @ v attention readout fwd
+  readout_vjp   readout fwd+bwd wrt (corr2d, v)
 
-Usage: python -m tools.bench_head_parts [fp32|bf16] [reps]
-Prints one JSON line per part: {"part", "ms", "ms_p90", "dtype"}.
+METHODOLOGY (round 4): every part runs as a K-step data-dependent
+``lax.scan`` chain inside ONE jitted call, and the per-step cost is the
+slope between a K-step and a 2K-step program: ``(t_2K - t_K) / K``. This is
+the only timing that survives the axon transport, whose PER-CALL round-trip
+floor is ~25-30 ms — as large as the ops being measured. The round-3
+version of this tool timed one op per call and therefore reported
+latency + op for every part; its conclusions ("a 10->10 pivot pair costs
+~25 ms", "the convs are ingest-bound at their dtype") were artifacts of
+that floor. Measured with this tool's chains: one 10->10 support-plane
+conv is ~2.9 ms f32 / ~1.6 ms bf16 (see BENCH.md round 4).
+
+Chains keep XLA honest (no CSE across steps) by threading the carry through
+the cheapest input: conv/grad parts perturb the PARAMS (a few KB) by
+(1 + c*1e-12); volume parts carry the volume itself (renormalized); the
+readout perturbs the small value matrix. The reported number therefore
+includes the chain's renormalization pass for mm_* parts (~1-2 extra volume
+passes, annotated in "chain").
+
+Usage: python -m tools.bench_head_parts [fp32|bf16] [K] [reps]
+Prints one JSON line per part: {"part", "ms", "dtype", "chain"}.
 """
 
 from __future__ import annotations
@@ -29,24 +48,22 @@ import time
 import numpy as np
 
 
-def _time(fn, variants, reps: int, sync) -> tuple[float, float]:
-    """Time fn over distinct input variants: the axon transport memoizes
-    byte-identical requests (see BENCH.md), so every timed call must differ
-    (the caller supplies reps+1 variants: one per timed call + warmup)."""
-    assert len(variants) > reps, (len(variants), reps)
+def _time_call(fn, variants, reps, sync):
+    """Median wall time of fn over distinct input variants (one call each;
+    the axon transport memoizes byte-identical requests)."""
     sync(fn(*variants[0]))
     ts = []
     for i in range(reps):
-        args = variants[i + 1]
         t0 = time.time()
-        sync(fn(*args))
+        sync(fn(*variants[i + 1]))
         ts.append((time.time() - t0) * 1e3)
-    return float(np.median(ts)), float(np.percentile(ts, 90))
+    return float(np.median(ts))
 
 
 def main() -> None:
     dtype_arg = sys.argv[1] if len(sys.argv) > 1 else "fp32"
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     import jax
     import jax.numpy as jnp
 
@@ -63,21 +80,13 @@ def main() -> None:
     dt = jnp.bfloat16 if dtype_arg in ("bf16", "bfloat16") else jnp.float32
     h = int(os.environ.get("PARTS_FEAT", "60"))
     key = jax.random.PRNGKey(0)
-    # block_until_ready does not force remote completion on the axon
-    # transport; fetching bytes does (same sync bench.py uses). Each part
-    # returns a scalar reduction so the fetch is 4 bytes, not the output.
+    # fetching bytes is the only sync the axon transport honors
     sync = lambda o: np.asarray(o)
-    # one distinct input variant per timed call + warmup: a repeat of a
-    # byte-identical request can be served from the transport memo cache.
-    # Each part materializes ITS OWN reps+1 variants just before timing and
-    # frees them after — holding all parts' variant lists at once scales
-    # device memory by reps (the (1,60,60,60,60,10) volume alone is 518 MB,
-    # so reps=30 would exceed HBM before any timing ran).
-    NV = reps + 1
 
-    def mk(shape):
-        return [jax.device_put(jax.random.normal(jax.random.PRNGKey(i), shape, dt))
-                for i in range(NV)]
+    def mk(shape, n):
+        return [jax.device_put(jax.random.normal(jax.random.PRNGKey(97 + i),
+                                                 shape, dt))
+                for i in range(n)]
 
     SHAPES = {
         "f1024": (1, h, h, 1024),
@@ -85,54 +94,161 @@ def main() -> None:
         "vol2": (1, h, h, h, h, 2),
         "vol10": (1, h, h, h, h, 10),
         "corr2d": (1, h * h, h * h),
-        "v512": (1, h, h, 512),
+        "v512": (1, h * h, 512),
     }
-    probe = {k: jnp.zeros(v, dt) for k, v in SHAPES.items()}  # init-only
-
     results = []
 
-    def rec(part, fn, *arg_names, consts=()):
-        arg_lists = [mk(SHAPES[n]) for n in arg_names]
-        variants = [tuple(consts) + args for args in zip(*arg_lists)]
-        scalar_fn = jax.jit(lambda *a: jax.tree.reduce(
-            lambda acc, t: acc + jnp.sum(t.astype(jnp.float32)), fn(*a),
-            jnp.float32(0)))
-        ms, p90 = _time(scalar_fn, variants, reps, sync)
-        del arg_lists, variants  # free this part's device buffers
-        results.append({"part": part, "ms": round(ms, 2),
-                        "ms_p90": round(p90, 2), "dtype": dtype_arg})
+    def rec(part, ms, chain):
+        results.append({"part": part, "ms": round(ms, 3),
+                        "dtype": dtype_arg, "chain": chain})
         print(json.dumps(results[-1]), flush=True)
 
-    rec("corr_1024+2048", lambda a, b: (get_corr(a, a), get_corr(b, b)),
-        "f1024", "f2048")
+    def slope(mk_prog, n_variants_shapes):
+        """(t_2K - t_K)/K over jitted K-step scan programs."""
+        variants = [tuple(vs) for vs in zip(
+            *[mk(s, reps + 1) for s in n_variants_shapes])]
+        tK = _time_call(jax.jit(mk_prog(K)), variants, reps, sync)
+        t2K = _time_call(jax.jit(mk_prog(2 * K)), variants, reps, sync)
+        del variants
+        return (t2K - tK) / K
 
+    def perturb(tree, c):
+        return jax.tree.map(
+            lambda t: t * (1 + c * 1e-12)
+            if jnp.issubdtype(t.dtype, jnp.floating) else t, tree)
+
+    def param_chain(fn, params):
+        """Chain by perturbing params (free); fn(params, *arrays) -> pytree."""
+        def mk_prog(steps):
+            def prog(*arrays):
+                def body(c, _):
+                    out = fn(perturb(params, c), *arrays)
+                    s = jax.tree.reduce(
+                        lambda a, t: a + jnp.mean(t.astype(jnp.float32)),
+                        out, jnp.float32(0))
+                    return s, None
+                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+                return c
+            return prog
+        return mk_prog
+
+    def carry_chain(fn):
+        """Chain by carrying the (same-shape) volume through fn + RMS renorm."""
+        def mk_prog(steps):
+            def prog(x0):
+                def body(x, _):
+                    out = fn(x)
+                    out = out * jax.lax.rsqrt(
+                        jnp.mean(jnp.square(out.astype(jnp.float32))) + 1e-20
+                    ).astype(out.dtype)
+                    return out, None
+                xK, _ = jax.lax.scan(body, x0, None, length=steps)
+                return jnp.sum(xK.astype(jnp.float32))
+            return prog
+        return mk_prog
+
+    # ---- per-call transport floor, for the record
+    s_vars = [(jax.device_put(jnp.float32(i)),) for i in range(reps + 1)]
+    floor = _time_call(jax.jit(lambda x: x + 1), s_vars, reps, sync)
+    rec("transport_roundtrip_floor", floor, "per-call")
+
+    # ---- correlation matmuls (perturb the small feature input)
+    def corr_prog(shape_name):
+        def mk_prog(steps):
+            def prog(f):
+                def body(c, _):
+                    fc = f * (1 + c * 1e-12)
+                    out = get_corr(fc, fc)
+                    return jnp.mean(out.astype(jnp.float32)), None
+                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+                return c
+            return prog
+        return mk_prog
+    rec("corr_1024", slope(corr_prog("f1024"), [SHAPES["f1024"]]), "feat-perturb")
+    rec("corr_2048", slope(corr_prog("f2048"), [SHAPES["f2048"]]), "feat-perturb")
+
+    # ---- WeightAverage
     wa = WeightAverage()
-    wa_vars = wa.init(key, probe["f1024"])
-    rec("wa_1024", lambda v, x: wa.apply(v, x), "f1024", consts=(wa_vars,))
+    wa_vars = wa.init(key, jnp.zeros(SHAPES["f1024"], dt))
+    rec("wa_1024",
+        slope(param_chain(lambda p, x: wa.apply(p, x), wa_vars),
+              [SHAPES["f1024"]]),
+        "param-perturb")
 
-    rec("mm_vol2", mutual_matching, "vol2")
-    rec("mm_vol10", mutual_matching, "vol10")
+    # ---- mutual matching (volume carried through; +renorm pass)
+    rec("mm_vol10", slope(carry_chain(mutual_matching), [SHAPES["vol10"]]),
+        "carry+renorm")
 
+    def mm_vjp(x):
+        out, vjp = jax.vjp(mutual_matching, x)
+        (dx,) = vjp(out)
+        return dx
+    rec("mm_vjp_vol10", slope(carry_chain(mm_vjp), [SHAPES["vol10"]]),
+        "carry+renorm")
+
+    # ---- whole-volume plane swap (pure transpose, carried)
+    rec("swap_vol10",
+        slope(carry_chain(lambda x: x.transpose(0, 3, 4, 1, 2, 5)),
+              [SHAPES["vol10"]]),
+        "carry")
+
+    # ---- pivot convs (param-perturbed)
     piv_a = CenterPivotConv4d(out_channels=10)
-    pa_vars = piv_a.init(key, probe["vol2"])
-    rec("pivot_2to10", lambda v, x: piv_a.apply(v, x), "vol2", consts=(pa_vars,))
+    pa_vars = piv_a.init(key, jnp.zeros(SHAPES["vol2"], dt))
+    rec("pivot_2to10",
+        slope(param_chain(lambda p, x: piv_a.apply(p, x), pa_vars),
+              [SHAPES["vol2"]]),
+        "param-perturb")
 
     piv_b = CenterPivotConv4d(out_channels=10)
-    pb_vars = piv_b.init(key, probe["vol10"])
-    rec("pivot_10to10", lambda v, x: piv_b.apply(v, x), "vol10",
-        consts=(pb_vars,))
+    pb_vars = piv_b.init(key, jnp.zeros(SHAPES["vol10"], dt))
+    rec("pivot_10to10",
+        slope(param_chain(lambda p, x: piv_b.apply(p, x), pb_vars),
+              [SHAPES["vol10"]]),
+        "param-perturb")
 
+    # ---- NeighConsensus stack
     ncons = NeighConsensus(kernel_sizes=(3, 3, 3), channels=(10, 10, 1))
-    nc_vars = ncons.init(key, probe["vol2"])
-    rec("ncons_fwd", lambda v, x: ncons.apply(v, x), "vol2", consts=(nc_vars,))
+    nc_vars = ncons.init(key, jnp.zeros(SHAPES["vol2"], dt))
+    rec("ncons_fwd",
+        slope(param_chain(lambda p, x: ncons.apply(p, x), nc_vars),
+              [SHAPES["vol2"]]),
+        "param-perturb")
 
     def nc_loss(params, x):
         return jnp.mean(ncons.apply(params, x).astype(jnp.float32))
+    rec("ncons_grad",
+        slope(param_chain(
+            lambda p, x: jax.grad(nc_loss)(p, x), nc_vars),
+            [SHAPES["vol2"]]),
+        "param-perturb")
 
-    rec("ncons_grad", jax.grad(nc_loss), "vol2", consts=(nc_vars,))
+    # ---- attention readout (perturb the value matrix)
+    def ro_prog(steps):
+        def prog(c2d, v):
+            def body(c, _):
+                out = masked_attention_readout(c2d, v * (1 + c * 1e-12),
+                                               temp=20.0)
+                return jnp.mean(out), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+            return c
+        return prog
+    rec("readout", slope(ro_prog, [SHAPES["corr2d"], SHAPES["v512"]]),
+        "v-perturb")
 
-    rec("readout", lambda c, v: masked_attention_readout(c, v, temp=20.0),
-        "corr2d", "v512")
+    def ro_vjp_prog(steps):
+        def prog(c2d, v):
+            def body(c, _):
+                def f(c2, vv):
+                    return jnp.mean(masked_attention_readout(
+                        c2, vv * (1 + c * 1e-12), temp=20.0))
+                out, grads = jax.value_and_grad(f, argnums=(0, 1))(c2d, v)
+                return out + jnp.mean(grads[0].astype(jnp.float32)), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+            return c
+        return prog
+    rec("readout_vjp", slope(ro_vjp_prog, [SHAPES["corr2d"], SHAPES["v512"]]),
+        "v-perturb")
 
 
 if __name__ == "__main__":
