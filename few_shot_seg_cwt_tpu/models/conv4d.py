@@ -81,10 +81,10 @@ def _promote(x: jnp.ndarray, kernel: jnp.ndarray):
     f32 (get_corr accumulates f32). The reference's torch.cuda.amp autocasts
     its convolutions to HALF precision (src/train_kshot.py:146-190), so when
     the kernel arrives bf16 we cast the volume DOWN and run the conv in bf16
-    (f32 accumulation via preferred_element_type below) — which also halves
-    the MXU's im2col ingest, the measured floor of these tiny-channel 4D
-    convs (BENCH.md round 4). With f32 kernels (no AMP) both meet at f32,
-    like the previous nn.Conv-based implementation.
+    — which halves the whole-volume bandwidth these bandwidth-bound convs
+    and their plane transposes pay (BENCH.md round 4). With f32 kernels
+    (no AMP) both meet at f32, like the previous nn.Conv-based
+    implementation.
     """
     if kernel.dtype == jnp.bfloat16:
         return x.astype(jnp.bfloat16), kernel

@@ -28,8 +28,9 @@ def get_corr(q_feat: jnp.ndarray, k_feat: jnp.ndarray) -> jnp.ndarray:
     Accumulates f32 on the MXU always; under AMP (bf16 features) the volume
     is EMITTED bf16 — torch.cuda.amp autocasts the reference's bmm to half
     (src/model/model_util.py:101-109 under train_kshot's autocast), and the
-    half-width volume is what halves the downstream mutual-matching and
-    4D-conv ingest (the measured head-step floor, BENCH.md round 4).
+    half-width volume halves the bandwidth of everything downstream
+    (mutual matching, the consensus convs and their transposes — the
+    bandwidth-bound bulk of the head step, BENCH.md round 4).
     """
     b, h, w, c = q_feat.shape
     q = l2norm(q_feat.reshape(b, h * w, c), axis=-1)

@@ -11,8 +11,9 @@ match.py corr_forward -> conv4d.py):
   swap_vol10    one whole-volume plane transpose (symmetric mode)
   pivot_2to10   one CenterPivotConv4d 2->10 fwd (2 conv2d + add)
   pivot_10to10  one CenterPivotConv4d 10->10 fwd
-  ncons_fwd     the full symmetric NeighConsensus stack (2->10->10->1) fwd
-  ncons_grad    grad of mean(ncons(x)) wrt params   [the train cost]
+  match_pipeline_fwd/grad   mm -> symmetric NeighConsensus (2->10->10->1)
+                -> mm through the ACTIVE route (rank-4 default; set
+                FSS_NCONS_R4=0 to time the 6D fallback)
   readout       softmax(corr*temp) @ v attention readout fwd
   readout_vjp   readout fwd+bwd wrt (corr2d, v)
 
@@ -72,7 +73,6 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from few_shot_seg_cwt_tpu.models.conv4d import CenterPivotConv4d
-    from few_shot_seg_cwt_tpu.models.matching import NeighConsensus
     from few_shot_seg_cwt_tpu.models.msm import WeightAverage
     from few_shot_seg_cwt_tpu.ops.corr import (get_corr, masked_attention_readout,
                                                mutual_matching)
@@ -207,20 +207,32 @@ def main() -> None:
               [SHAPES["vol10"]]),
         "param-perturb")
 
-    # ---- NeighConsensus stack
-    ncons = NeighConsensus(kernel_sizes=(3, 3, 3), channels=(10, 10, 1))
-    nc_vars = ncons.init(key, jnp.zeros(SHAPES["vol2"], dt))
-    rec("ncons_fwd",
-        slope(param_chain(lambda p, x: ncons.apply(p, x), nc_vars),
-              [SHAPES["vol2"]]),
+    # ---- the full match pipeline (mm -> symmetric consensus -> mm), through
+    # whichever route is active (rank-4 default; FSS_NCONS_R4=0 for 6D)
+    from few_shot_seg_cwt_tpu.models.matching import MatchNet, ncons_r4_active
+
+    net = MatchNet(temp=3.0, cv_type="red", in_channel=2,
+                   block_remat=not ncons_r4_active("red"))
+    corr_cm = jnp.zeros((1, 2, h * h, h * h), dt)
+    net_vars = net.init(key, corr_cm, (h, h, h, h),
+                        method=net.run_match_model_flat)
+    route = "r4" if ncons_r4_active("red") else "6d"
+    rec(f"match_pipeline_fwd[{route}]",
+        slope(param_chain(
+            lambda p, x: net.apply(p, x, (h, h, h, h),
+                                   method=net.run_match_model_flat),
+            net_vars),
+            [(1, 2, h * h, h * h)]),
         "param-perturb")
 
-    def nc_loss(params, x):
-        return jnp.mean(ncons.apply(params, x).astype(jnp.float32))
-    rec("ncons_grad",
+    def mp_loss(params, x):
+        out = net.apply(params, x, (h, h, h, h),
+                        method=net.run_match_model_flat)
+        return jnp.mean(jnp.square(out.astype(jnp.float32)))
+    rec(f"match_pipeline_grad[{route}]",
         slope(param_chain(
-            lambda p, x: jax.grad(nc_loss)(p, x), nc_vars),
-            [SHAPES["vol2"]]),
+            lambda p, x: jax.grad(mp_loss)(p, x), net_vars),
+            [(1, 2, h * h, h * h)]),
         "param-perturb")
 
     # ---- attention readout (perturb the value matrix)
