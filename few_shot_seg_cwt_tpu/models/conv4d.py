@@ -350,17 +350,22 @@ def _conv4d_fwd(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
 def _conv4d_dk(x: jnp.ndarray, g: jnp.ndarray, k) -> jnp.ndarray:
     """Kernel gradient of the stride-1 same-padding 4D conv, emitted as ONE
-    scanned small-batch 2D kernel-grad instruction.
+    scanned 2D kernel-grad instruction with k0*k1 steps.
 
     XLA:TPU's conv kernel-grad emitter is compile-pathological at this
     problem's sizes (isolated probes on v5e: 3D kgrad at 120^3 batch 1 =
     202 s, 2D kgrad at batch 14400 = 91 s, the full conv4d dk = 384 s —
     vs 27 s for a 2D kgrad at batch ~120). So dk is computed exactly as
     dk[p,q,r,s,ci,co] = sum over positions of xpad[., h+p, w+q, hs+r,
-    ws+s, ci] * g[., h, w, hs, ws, co], scanned over (p, q, h): each step
-    dynamic-slices one h-plane of the padded volume and runs the 2D
-    kernel-grad over (hs, ws) with (b*w) as the batch — one conv HLO total,
-    reused by every step, compiling in tens of seconds instead of minutes.
+    ws+s, ci] * g[., h, w, hs, ws, co], scanned over the (p, q) query-plane
+    kernel offsets: each step slices the (h, w)-shifted volume view and
+    runs the 2D kernel-grad over (hs, ws) with (b*h*w) as the batch — one
+    conv HLO total, reused by every step. The round-4a version scanned
+    (p, q, h) — k0*k1*h steps of a (b*w)-batch kernel-grad — to keep the
+    emitter's compile time down, but 1500 sequential tiny convs made the
+    CHM train step RUNTIME-bound on dispatch (measured dtype-invariant,
+    2.3 eps/s at f32 AND bf16); the (b*h*w)-batch form is the same single
+    HLO at 60x fewer, 60x larger steps.
     """
     b, h, w, hs, ws, ci = x.shape
     co = g.shape[-1]
@@ -370,10 +375,10 @@ def _conv4d_dk(x: jnp.ndarray, g: jnp.ndarray, k) -> jnp.ndarray:
                      (p2, p2), (p3, p3), (0, 0)))
 
     kshape = (k2, k3, ci, co)
-    g5 = g.transpose(1, 0, 2, 3, 4, 5).reshape(h, b * w, hs, ws, co)
+    gf = g.reshape(b * h * w, hs, ws, co)
 
     def kgrad2d(sl, gg):
-        # sl: (b*w, hs+2*p2, ws+2*p3, ci); gg: (b*w, hs, ws, co)
+        # sl: (b*h*w, hs+2*p2, ws+2*p3, ci); gg: (b*h*w, hs, ws, co)
         def conv2(k2d):
             dn = jax.lax.conv_dimension_numbers(sl.shape, kshape,
                                                 ("NHWC", "HWIO", "NHWC"))
@@ -384,25 +389,17 @@ def _conv4d_dk(x: jnp.ndarray, g: jnp.ndarray, k) -> jnp.ndarray:
         (dk2,) = vjp_fn(gg)
         return dk2                                      # (k2, k3, ci, co)
 
-    def body(acc, i):
-        p = i // (k1 * h)
-        rem = i % (k1 * h)
-        q = rem // h
-        hh = rem % h
+    def body(_, i):
+        p = i // k1
+        q = i % k1
         sl = jax.lax.dynamic_slice(
-            xp, (0, hh + p, q, 0, 0, 0),
-            (b, 1, w, hs + 2 * p2, ws + 2 * p3, ci),
-        ).reshape(b * w, hs + 2 * p2, ws + 2 * p3, ci)
-        dk2 = kgrad2d(sl, g5[hh])
-        cur = jax.lax.dynamic_slice(acc, (p, q, 0, 0, 0, 0),
-                                    (1, 1, k2, k3, ci, co))
-        acc = jax.lax.dynamic_update_slice(
-            acc, cur + dk2[None, None], (p, q, 0, 0, 0, 0))
-        return acc, None
+            xp, (0, p, q, 0, 0, 0),
+            (b, h, w, hs + 2 * p2, ws + 2 * p3, ci),
+        ).reshape(b * h * w, hs + 2 * p2, ws + 2 * p3, ci)
+        return None, kgrad2d(sl, gf)
 
-    acc0 = jnp.zeros((k0, k1, k2, k3, ci, co), x.dtype)
-    acc, _ = jax.lax.scan(body, acc0, jnp.arange(k0 * k1 * h))
-    return acc
+    _, dks = jax.lax.scan(body, None, jnp.arange(k0 * k1))
+    return dks.reshape(k0, k1, k2, k3, ci, co)
 
 
 def _flip_k(kernel: jnp.ndarray) -> jnp.ndarray:
