@@ -37,6 +37,23 @@ import jax.numpy as jnp
 _default_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+def qplane_hwnc_active() -> bool:
+    """True when the rank-4 route's query-plane conv runs transpose-free.
+
+    Instead of batching the query-plane conv as NHWC via two whole-volume
+    rank-4 permutations (transpose in, transpose back), feed XLA:TPU the
+    free ``(hq, wq, sn, C)`` view of the same bytes with the BATCH dim on
+    dim 2 (``("HWNC", "HWIO", "HWNC")`` dimension numbers). XLA lowers this
+    natively (no hidden re-transpose) — measured A/B in BENCH.md round 4c.
+    Applies only to unit-batch volumes (every hot path scans/maps episodes,
+    so B=1 inside the jitted step); ``FSS_QPLANE_HWNC=0`` restores the
+    transpose route.
+    """
+    import os
+
+    return os.environ.get("FSS_QPLANE_HWNC") != "0"
+
+
 def _uniform_bias_init(kernel_hw: int):
     def init(key, shape, dtype=jnp.float32):
         # torch Conv2d bias: U(+-1/sqrt(fan_in)); fan_in known at module level
@@ -251,10 +268,10 @@ class CenterPivotConv4d(nn.Module):
         k_q, b_q, pad_q = ((ks, bs, (p[2], p[3])) if swap_roles
                            else (kq, bq, (p[0], p[1])))
 
-        def plane_conv(t, kern, bias, pad):
+        def plane_conv(t, kern, bias, pad, spec="NHWC"):
             t, kern = _promote(t, kern)
             dn = jax.lax.conv_dimension_numbers(
-                t.shape, kern.shape, ("NHWC", "HWIO", "NHWC"))
+                t.shape, kern.shape, (spec, "HWIO", spec))
             out = jax.lax.conv_general_dilated(
                 t, kern, (1, 1), [(pad[0],) * 2, (pad[1],) * 2],
                 dimension_numbers=dn)
@@ -264,9 +281,18 @@ class CenterPivotConv4d(nn.Module):
 
         s_out = plane_conv(x.reshape(b * qn, hs, ws, c), k_s, b_s,
                            pad_s).reshape(b, qn, sn, co)
-        x_t = x.transpose(0, 2, 1, 3)
-        q_out = plane_conv(x_t.reshape(b * sn, hq, wq, c), k_q, b_q,
-                           pad_q).reshape(b, sn, qn, co).transpose(0, 2, 1, 3)
+        if b == 1 and qplane_hwnc_active():
+            # transpose-free query-plane conv: feed XLA the free
+            # (hq, wq, sn, C) view of the same bytes with the BATCH dim on
+            # dim 2 ("HWNC" dimension numbers). Saves the two whole-volume
+            # rank-4 permutations per pivot (measured A/B in BENCH.md
+            # round 4c); identical math, tests/test_matching_r4.py.
+            q_out = plane_conv(x.reshape(hq, wq, sn, c), k_q, b_q,
+                               pad_q, "HWNC").reshape(1, qn, sn, co)
+        else:
+            x_t = x.transpose(0, 2, 1, 3)
+            q_out = plane_conv(x_t.reshape(b * sn, hq, wq, c), k_q, b_q,
+                               pad_q).reshape(b, sn, qn, co).transpose(0, 2, 1, 3)
         out = s_out + q_out
         if fuse_relu:
             out = nn.relu(out)

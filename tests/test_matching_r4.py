@@ -112,3 +112,39 @@ def test_ncons_bqsc_asymmetric_and_kernel5(monkeypatch):
         np.asarray(out_6d.transpose(0, 5, 1, 2, 3, 4).reshape(
             B, out_6d.shape[-1], Q, S)).transpose(0, 2, 3, 1),
         rtol=0, atol=1e-5)
+
+
+def test_qplane_hwnc_matches_transpose_route(monkeypatch):
+    """The transpose-free ("HWNC") query-plane conv is exactly the
+    transpose+NHWC+transpose route: fwd and grads, swap_roles both ways,
+    on ASYMMETRIC (hq != hs) dims so a reshape mistake cannot cancel."""
+    from few_shot_seg_cwt_tpu.models.conv4d import (CenterPivotConv4d,
+                                                    qplane_hwnc_active)
+
+    hq, hs = 7, 5
+    dims = (hq, hq, hs, hs)
+    m = CenterPivotConv4d(out_channels=4, kernel_size=(3,) * 4,
+                          padding=(1,) * 4, use_bias=True, stride=(1,) * 4)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, hq * hq, hs * hs, 3))
+    variables = m.init(jax.random.PRNGKey(6),
+                       jnp.zeros((1, hq, hq, hs, hs, 3)))
+
+    def loss(v, x, swap):
+        out = m.apply(v, x, swap, True, dims, True)
+        return jnp.sum(jnp.square(out)), out
+
+    for swap in (False, True):
+        monkeypatch.setenv("FSS_QPLANE_HWNC", "0")
+        assert not qplane_hwnc_active()
+        (l0, o0), g0 = jax.value_and_grad(loss, argnums=(0, 1),
+                                          has_aux=True)(variables, x, swap)
+        monkeypatch.delenv("FSS_QPLANE_HWNC")
+        assert qplane_hwnc_active()
+        (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1),
+                                          has_aux=True)(variables, x, swap)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   rtol=0, atol=1e-5)
+        f0 = jax.flatten_util.ravel_pytree(g0)[0]
+        f1 = jax.flatten_util.ravel_pytree(g1)[0]
+        np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
+                                   rtol=1e-5, atol=1e-4)

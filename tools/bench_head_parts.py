@@ -14,6 +14,11 @@ match.py corr_forward -> conv4d.py):
   match_pipeline_fwd/grad   mm -> symmetric NeighConsensus (2->10->10->1)
                 -> mm through the ACTIVE route (rank-4 default; set
                 FSS_NCONS_R4=0 to time the 6D fallback)
+  splane_nhwc / qplane_tr / qplane_hwnc (x _fwd/_grad)
+                query-plane conv layout A/B: today's transpose+NHWC+
+                transpose-back vs the transpose-free batch-on-dim-2
+                ("HWNC") dimension-numbers conv, with the s-plane NHWC
+                conv as the no-transpose floor
   readout       softmax(corr*temp) @ v attention readout fwd
   readout_vjp   readout fwd+bwd wrt (corr2d, v)
 
@@ -98,7 +103,18 @@ def main() -> None:
     }
     results = []
 
+    # PARTS_FILTER=substr[,substr...]: run only matching parts (the slope
+    # work is skipped, not just the print)
+    _filters = [f for f in os.environ.get("PARTS_FILTER", "").split(",") if f]
+
+    def want(part):
+        return not _filters or any(f in part for f in _filters)
+
     def rec(part, ms, chain):
+        if not want(part):
+            return
+        if callable(ms):
+            ms = ms()
         results.append({"part": part, "ms": round(ms, 3),
                         "dtype": dtype_arg, "chain": chain})
         print(json.dumps(results[-1]), flush=True)
@@ -164,48 +180,90 @@ def main() -> None:
                 return c
             return prog
         return mk_prog
-    rec("corr_1024", slope(corr_prog("f1024"), [SHAPES["f1024"]]), "feat-perturb")
-    rec("corr_2048", slope(corr_prog("f2048"), [SHAPES["f2048"]]), "feat-perturb")
+    rec("corr_1024", lambda: slope(corr_prog("f1024"), [SHAPES["f1024"]]), "feat-perturb")
+    rec("corr_2048", lambda: slope(corr_prog("f2048"), [SHAPES["f2048"]]), "feat-perturb")
 
     # ---- WeightAverage
     wa = WeightAverage()
     wa_vars = wa.init(key, jnp.zeros(SHAPES["f1024"], dt))
-    rec("wa_1024",
-        slope(param_chain(lambda p, x: wa.apply(p, x), wa_vars),
+    rec("wa_1024", lambda: slope(param_chain(lambda p, x: wa.apply(p, x), wa_vars),
               [SHAPES["f1024"]]),
         "param-perturb")
 
     # ---- mutual matching (volume carried through; +renorm pass)
-    rec("mm_vol10", slope(carry_chain(mutual_matching), [SHAPES["vol10"]]),
+    rec("mm_vol10", lambda: slope(carry_chain(mutual_matching), [SHAPES["vol10"]]),
         "carry+renorm")
 
     def mm_vjp(x):
         out, vjp = jax.vjp(mutual_matching, x)
         (dx,) = vjp(out)
         return dx
-    rec("mm_vjp_vol10", slope(carry_chain(mm_vjp), [SHAPES["vol10"]]),
+    rec("mm_vjp_vol10", lambda: slope(carry_chain(mm_vjp), [SHAPES["vol10"]]),
         "carry+renorm")
 
     # ---- whole-volume plane swap (pure transpose, carried)
-    rec("swap_vol10",
-        slope(carry_chain(lambda x: x.transpose(0, 3, 4, 1, 2, 5)),
+    rec("swap_vol10", lambda: slope(carry_chain(lambda x: x.transpose(0, 3, 4, 1, 2, 5)),
               [SHAPES["vol10"]]),
         "carry")
 
     # ---- pivot convs (param-perturbed)
     piv_a = CenterPivotConv4d(out_channels=10)
     pa_vars = piv_a.init(key, jnp.zeros(SHAPES["vol2"], dt))
-    rec("pivot_2to10",
-        slope(param_chain(lambda p, x: piv_a.apply(p, x), pa_vars),
+    rec("pivot_2to10", lambda: slope(param_chain(lambda p, x: piv_a.apply(p, x), pa_vars),
               [SHAPES["vol2"]]),
         "param-perturb")
 
     piv_b = CenterPivotConv4d(out_channels=10)
     pb_vars = piv_b.init(key, jnp.zeros(SHAPES["vol10"], dt))
-    rec("pivot_10to10",
-        slope(param_chain(lambda p, x: piv_b.apply(p, x), pb_vars),
+    rec("pivot_10to10", lambda: slope(param_chain(lambda p, x: piv_b.apply(p, x), pb_vars),
               [SHAPES["vol10"]]),
         "param-perturb")
+
+    # ---- query-plane conv layout A/B (round 4c): the rank-4 route pays two
+    # whole-volume (0,2,1,3) permutations per pivot to batch the query-plane
+    # conv as NHWC. The HWNC candidate instead feeds XLA a conv whose BATCH
+    # dim is the support axis in place (dimension_numbers ("HWNC","HWIO",
+    # "HWNC") on the free (hq,wq,sn,C) view of the same bytes) — zero
+    # transposes IF XLA:TPU lowers it natively rather than re-transposing.
+    S = h * h
+    qk = jax.random.normal(jax.random.PRNGKey(7), (3, 3, 10, 10), dt) * 0.1
+
+    def q_tr(k, x):  # today's route: transpose -> NHWC conv -> transpose back
+        xt = x.transpose(0, 2, 1, 3).reshape(S, h, h, 10)
+        dn = jax.lax.conv_dimension_numbers(
+            xt.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        o = jax.lax.conv_general_dilated(
+            xt, k, (1, 1), [(1, 1)] * 2, dimension_numbers=dn)
+        return o.reshape(1, S, S, 10).transpose(0, 2, 1, 3)
+
+    def q_hwnc(k, x):  # candidate: batch-on-dim-2 conv, no transposes
+        xr = x.reshape(h, h, S, 10)
+        dn = jax.lax.conv_dimension_numbers(
+            xr.shape, k.shape, ("HWNC", "HWIO", "HWNC"))
+        o = jax.lax.conv_general_dilated(
+            xr, k, (1, 1), [(1, 1)] * 2, dimension_numbers=dn)
+        return o.reshape(1, S, S, 10)
+
+    def s_nhwc(k, x):  # the s-plane conv (free reshape), as the floor
+        xr = x.reshape(S, h, h, 10)
+        dn = jax.lax.conv_dimension_numbers(
+            xr.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        o = jax.lax.conv_general_dilated(
+            xr, k, (1, 1), [(1, 1)] * 2, dimension_numbers=dn)
+        return o.reshape(1, S, S, 10)
+
+    def kx_grad(fn):
+        def gg(k, x):
+            def loss(kk, xx):
+                return jnp.mean(jnp.square(fn(kk, xx).astype(jnp.float32)))
+            return jax.grad(loss, argnums=(0, 1))(k, x)
+        return gg
+
+    for label, fn in [("splane_nhwc", s_nhwc), ("qplane_tr", q_tr),
+                      ("qplane_hwnc", q_hwnc)]:
+        rec(f"{label}_fwd", lambda: slope(param_chain(fn, qk), [(1, S, S, 10)]), "param-perturb")
+        rec(f"{label}_grad", lambda: slope(param_chain(kx_grad(fn), qk), [(1, S, S, 10)]),
+            "param-perturb")
 
     # ---- the full match pipeline (mm -> symmetric consensus -> mm), through
     # whichever route is active (rank-4 default; FSS_NCONS_R4=0 for 6D)
@@ -217,8 +275,7 @@ def main() -> None:
     net_vars = net.init(key, corr_cm, (h, h, h, h),
                         method=net.run_match_model_flat)
     route = "r4" if ncons_r4_active("red") else "6d"
-    rec(f"match_pipeline_fwd[{route}]",
-        slope(param_chain(
+    rec(f"match_pipeline_fwd[{route}]", lambda: slope(param_chain(
             lambda p, x: net.apply(p, x, (h, h, h, h),
                                    method=net.run_match_model_flat),
             net_vars),
@@ -229,8 +286,7 @@ def main() -> None:
         out = net.apply(params, x, (h, h, h, h),
                         method=net.run_match_model_flat)
         return jnp.mean(jnp.square(out.astype(jnp.float32)))
-    rec(f"match_pipeline_grad[{route}]",
-        slope(param_chain(
+    rec(f"match_pipeline_grad[{route}]", lambda: slope(param_chain(
             lambda p, x: jax.grad(mp_loss)(p, x), net_vars),
             [(1, 2, h * h, h * h)]),
         "param-perturb")
@@ -245,7 +301,7 @@ def main() -> None:
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
             return c
         return prog
-    rec("readout", slope(ro_prog, [SHAPES["corr2d"], SHAPES["v512"]]),
+    rec("readout", lambda: slope(ro_prog, [SHAPES["corr2d"], SHAPES["v512"]]),
         "v-perturb")
 
     def ro_vjp_prog(steps):
@@ -259,7 +315,7 @@ def main() -> None:
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
             return c
         return prog
-    rec("readout_vjp", slope(ro_vjp_prog, [SHAPES["corr2d"], SHAPES["v512"]]),
+    rec("readout_vjp", lambda: slope(ro_vjp_prog, [SHAPES["corr2d"], SHAPES["v512"]]),
         "v-perturb")
 
 
