@@ -44,10 +44,13 @@ def qplane_hwnc_active() -> bool:
     rank-4 permutations (transpose in, transpose back), feed XLA:TPU the
     free ``(hq, wq, sn, C)`` view of the same bytes with the BATCH dim on
     dim 2 (``("HWNC", "HWIO", "HWNC")`` dimension numbers). XLA lowers this
-    natively (no hidden re-transpose) — measured A/B in BENCH.md round 4c.
-    Applies only to unit-batch volumes (every hot path scans/maps episodes,
-    so B=1 inside the jitted step); ``FSS_QPLANE_HWNC=0`` restores the
-    transpose route.
+    natively (no hidden re-transpose) — measured A/B in BENCH.md round 5
+    ("query-plane conv layout"). Applies only to unit-batch volumes (every
+    hot path scans/maps episodes, so B=1 inside the jitted step);
+    ``FSS_QPLANE_HWNC=0`` restores the transpose route. Like FSS_NCONS_R4,
+    the flag is read at TRACE time and is not part of any jit cache key:
+    set it before the first compile of a step; toggling it afterwards has
+    no effect on already-compiled functions.
     """
     import os
 
@@ -286,7 +289,8 @@ class CenterPivotConv4d(nn.Module):
             # (hq, wq, sn, C) view of the same bytes with the BATCH dim on
             # dim 2 ("HWNC" dimension numbers). Saves the two whole-volume
             # rank-4 permutations per pivot (measured A/B in BENCH.md
-            # round 4c); identical math, tests/test_matching_r4.py.
+            # round 5, "query-plane conv layout"); identical math,
+            # tests/test_matching_r4.py.
             q_out = plane_conv(x.reshape(hq, wq, sn, c), k_q, b_q,
                                pad_q, "HWNC").reshape(1, qn, sn, co)
         else:

@@ -163,10 +163,12 @@ def main() -> None:
             return prog
         return mk_prog
 
-    # ---- per-call transport floor, for the record
-    s_vars = [(jax.device_put(jnp.float32(i)),) for i in range(reps + 1)]
-    floor = _time_call(jax.jit(lambda x: x + 1), s_vars, reps, sync)
-    rec("transport_roundtrip_floor", floor, "per-call")
+    # ---- per-call transport floor, for the record (thunked like every
+    # other part so PARTS_FILTER skips the measurement, not just the print)
+    def _floor():
+        s_vars = [(jax.device_put(jnp.float32(i)),) for i in range(reps + 1)]
+        return _time_call(jax.jit(lambda x: x + 1), s_vars, reps, sync)
+    rec("transport_roundtrip_floor", _floor, "per-call")
 
     # ---- correlation matmuls (perturb the small feature input)
     def corr_prog(shape_name):
@@ -219,7 +221,7 @@ def main() -> None:
               [SHAPES["vol10"]]),
         "param-perturb")
 
-    # ---- query-plane conv layout A/B (round 4c): the rank-4 route pays two
+    # ---- query-plane conv layout A/B (BENCH.md round 5): the rank-4 route pays two
     # whole-volume (0,2,1,3) permutations per pivot to batch the query-plane
     # conv as NHWC. The HWNC candidate instead feeds XLA a conv whose BATCH
     # dim is the support axis in place (dimension_numbers ("HWNC","HWIO",
@@ -261,8 +263,13 @@ def main() -> None:
 
     for label, fn in [("splane_nhwc", s_nhwc), ("qplane_tr", q_tr),
                       ("qplane_hwnc", q_hwnc)]:
-        rec(f"{label}_fwd", lambda: slope(param_chain(fn, qk), [(1, S, S, 10)]), "param-perturb")
-        rec(f"{label}_grad", lambda: slope(param_chain(kx_grad(fn), qk), [(1, S, S, 10)]),
+        # bind fn explicitly: rec() happens to call the thunk synchronously,
+        # but a deferred/batched rec must not silently measure the last fn
+        rec(f"{label}_fwd",
+            lambda fn=fn: slope(param_chain(fn, qk), [(1, S, S, 10)]),
+            "param-perturb")
+        rec(f"{label}_grad",
+            lambda fn=fn: slope(param_chain(kx_grad(fn), qk), [(1, S, S, 10)]),
             "param-perturb")
 
     # ---- the full match pipeline (mm -> symmetric consensus -> mm), through
