@@ -109,7 +109,7 @@ def main() -> None:
     # compiles ~0.3 GB past HBM) for +2% — the margin quantified by the
     # program_hbm_gb field below
     e_batch = int(os.environ.get("BENCH_EPISODE_BATCH",
-                                 "4" if mode == "head" else "40"))
+                                 "4" if mode.startswith("head") else "40"))
     # 24 timed batches (~8s of device time at the protocol shape): with the
     # transport's transient stalls, 8 batches left the reported median
     # anywhere in a ±10% band — the r2 driver run (92.7) and the documented
@@ -326,6 +326,72 @@ def main() -> None:
             batch_times.append(time.time() - t0)
         metric_name = (f"{head}-head train-step episodes/sec/chip "
                        f"({shot}-shot @{size}px, {dtype})")
+    elif mode in ("head_eval", "head_serve"):
+        # extension-head EVAL protocol (head_eval: the per-variant validate
+        # loop — deterministic forward + per-class I/U, reference
+        # src/test.py:103-254 via each trainer's validate) and label-free
+        # SERVING (head_serve: tools/export_serve's argmax-mask program).
+        # Both iterate episodes through lax.map (the rank-5 layout fence,
+        # episodic/heads.py) — this mode measures exactly that serialization;
+        # cfg eval_episode_tile (BENCH_OPTS) vmaps the map in chunks.
+        from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+        from few_shot_seg_cwt_tpu.train.train_head import init_head_trainables
+
+        head = os.environ.get("BENCH_HEAD", "mmn")
+        for k, v in dict(conv4d="red", temp=20.0, att_wt=0.2,
+                         loss_type="wt_dc", rmid="l34", wa=True,
+                         proj_drop=0.5, att_drop=0.5, trans_lr=0.0015).items():
+            cfg[k] = v
+        cfg.use_amp = dtype == "bfloat16"
+        h_engine = HeadEngine(cfg, head)
+        _progress(f"initializing {head} head trainables")
+        trainables = init_head_trainables(cfg, h_engine, vars_b)
+        _progress("head trainables initialized")
+
+        if mode == "head_eval":
+            fn = h_engine.eval_metrics_batch
+            out_key = "loss"
+
+            def call(batch, rngs):
+                return fn(trainables, vars_b, batch, rngs, None)
+
+            sync = lambda out: np.asarray(out[out_key])
+        else:
+            def serve_batch(trainables, vars_b, batch, rngs):
+                f = lambda er: h_engine.serve_episode(vars_b, trainables,
+                                                      er[0], er[1])
+                t = int(cfg.get("eval_episode_tile", 1) or 1)
+                if t > 1 and rngs.shape[0] % t == 0:
+                    return jax.lax.map(f, (batch, rngs), batch_size=t)
+                return jax.lax.map(f, (batch, rngs))
+
+            fn = jax.jit(serve_batch)
+
+            def call(batch, rngs):
+                return fn(trainables, vars_b, batch, rngs)
+
+            sync = lambda out: np.asarray(out[0, 0, 0])
+
+        rng_sets = [jax.random.split(jax.random.PRNGKey(50 + i), e_total)
+                    for i in range(n_batches + 1)]
+        t_c = time.time()
+        _progress(f"compiling {mode} program")
+        out = call(episode_batches[0], rng_sets[-1])
+        sync(out)
+        compile_s = time.time() - t_c
+        flops_total = 0.0
+        _progress(f"{mode} compiled+warm in {compile_s:.0f}s")
+
+        batch_times = []
+        for i in range(n_batches):
+            t0 = time.time()
+            out = call(episode_batches[i % len(episode_batches)], rng_sets[i])
+            sync(out)
+            batch_times.append(time.time() - t0)
+        tile = int(cfg.get("eval_episode_tile", 1) or 1)
+        metric_name = (f"{head}-head {'eval' if mode == 'head_eval' else 'serve'}"
+                       f" episodes/sec/chip ({shot}-shot @{size}px, {dtype}"
+                       f"{', tile ' + str(tile) if tile > 1 else ''})")
     elif mode == "train":
         optimizer = build_optimizer(cfg, base_lr=cfg.trans_lr, use_schedule=False)
         trans_params = vars_t["params"]

@@ -105,6 +105,11 @@ _DEFAULTS: Dict[str, Any] = {
     "shot_tile": 1,            # k-shot MMN scan chunk: shots vmapped per
                                # lax.map step (memory x tile, chain / tile);
                                # must divide shot, else sequential
+    "shot_native": False,      # k-shot MMN: batch all shots through the
+                               # consensus route's native B axis (rank-4
+                               # tensors stay rank-4 — no vmap/rank-5
+                               # layouts, no per-shot remat recompute);
+                               # costs shot x the volume activations
     "use_amp": False,          # reference AMP flag; maps to bf16 compute here
     "tp": 1.0,                 # Adapt_SegLoss weight exponent
     # ---- model ----
@@ -197,6 +202,10 @@ _DEFAULTS: Dict[str, Any] = {
                                # without it — 13.7 GB fp32 / 8.1 GB bf16
                                # measured at batch 4, incl. wa), on for the
                                # 6D fallback (historical bounding behavior)
+    "eval_episode_tile": 1,    # head/CCA eval + serving: episodes vmapped
+                               # per lax.map step (1 = fully sequential, the
+                               # rank-4-route-safe default at 473px; rank-5
+                               # layouts pad catastrophically there)
     "head_grad_accum": True,   # head train step: accumulate per-episode grads
                                # sequentially (exact; bounds HBM by 1 episode)
 

@@ -237,6 +237,16 @@ class HeadEngine:
         if shot == 1:
             return apply_one(fs_feats, f_s, rng)
 
+        # shot_native: run every shot through ONE head apply — the rank-4
+        # consensus route carries the shot axis as the conv batch dim B, so
+        # the tensors stay rank-4 (no vmap => no rank-5 transposes and none
+        # of their catastrophic TPU layout padding) and the per-shot
+        # lax.map's jax.checkpoint recompute (one extra consensus forward
+        # per shot) disappears. The price is shot x the consensus-stack
+        # activation memory held for the backward.
+        if self.cfg.get("shot_native", False):
+            return apply_one(fs_feats, f_s, rng)
+
         def one(args):
             fs_k, f_s_k, rng_k = args
             return apply_one(jax.tree.map(lambda t: t[None], fs_k),
@@ -561,11 +571,17 @@ class HeadEngine:
         # demanded 26 GB of HBM). The sequential map keeps each episode's
         # program identical to the train step's per-episode forward, and
         # eval is forward-only so there is no batching win to lose.
+        # eval_episode_tile > 1 vmaps the map in chunks of that many
+        # episodes (lax.map batch_size) — the dial for sub-473 shapes where
+        # the rank-5 layouts stay sane; it must divide the batch.
+        tile = int(self.cfg.get("eval_episode_tile", 1) or 1)
+
         def fn(trainables, vars_b, batch, rngs, frozen_vars):
-            return jax.lax.map(
-                lambda er: eval_one(trainables, vars_b, er[0], er[1],
-                                    frozen_vars),
-                (batch, rngs))
+            f = lambda er: eval_one(trainables, vars_b, er[0], er[1],
+                                    frozen_vars)
+            if tile > 1 and batch["q_label"].shape[0] % tile == 0:
+                return jax.lax.map(f, (batch, rngs), batch_size=tile)
+            return jax.lax.map(f, (batch, rngs))
 
         return jax.jit(fn)
 

@@ -271,13 +271,26 @@ class CenterPivotConv4d(nn.Module):
         k_q, b_q, pad_q = ((ks, bs, (p[2], p[3])) if swap_roles
                            else (kq, bq, (p[0], p[1])))
 
+        from ..ops.quant import fake_quant, ncons_int8_mode, qconv2d
+
+        int8_mode = ncons_int8_mode()
+
         def plane_conv(t, kern, bias, pad, spec="NHWC"):
             t, kern = _promote(t, kern)
-            dn = jax.lax.conv_dimension_numbers(
-                t.shape, kern.shape, (spec, "HWIO", spec))
-            out = jax.lax.conv_general_dilated(
-                t, kern, (1, 1), [(pad[0],) * 2, (pad[1],) * 2],
-                dimension_numbers=dn)
+            if int8_mode == "dot":
+                # int8 execution (ops/quant.py): int8 operands + int32 MXU
+                # accumulation, STE backward from int8 residuals
+                out = qconv2d(t, kern, tuple(pad), spec, t.dtype).astype(t.dtype)
+            else:
+                if int8_mode == "fake":
+                    # accuracy probe: int8 noise, unchanged execution dtype
+                    t = fake_quant(t)
+                    kern = fake_quant(kern)
+                dn = jax.lax.conv_dimension_numbers(
+                    t.shape, kern.shape, (spec, "HWIO", spec))
+                out = jax.lax.conv_general_dilated(
+                    t, kern, (1, 1), [(pad[0],) * 2, (pad[1],) * 2],
+                    dimension_numbers=dn)
             if bias is not None:
                 out = out + bias.reshape(1, 1, 1, co).astype(out.dtype)
             return out

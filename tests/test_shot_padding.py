@@ -236,3 +236,13 @@ def test_scanned_shot_readout_equals_batched():
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(scanned),
                                    rtol=2e-4, atol=2e-5, err_msg=f"tile={tile}")
     engine.cfg.shot_tile = 1
+
+    # shot_native routes _mmn_att_shots straight through the batched apply
+    # (shots on the consensus route's conv batch axis, no per-shot map/remat)
+    engine.cfg.shot_native = True
+    native = engine._mmn_att_shots(
+        {"params": trainables}, parts["fq_feats"], parts["fs_feats"],
+        parts["f_q"], parts["f_s"], rng, det=True)
+    np.testing.assert_allclose(np.asarray(native), np.asarray(batched),
+                               rtol=1e-6, atol=1e-7)
+    engine.cfg.shot_native = False

@@ -298,6 +298,79 @@ def main() -> None:
             [(1, 2, h * h, h * h)]),
         "param-perturb")
 
+    # ---- CHM head parts (reference src/model/match.py:191-244 pipeline at
+    # the 473px protocol: 60px features halved to 30 -> 6D scale volume
+    # (1,3,3,30,30,30,30) -> CHM6d (true-4D conv, 9->9 folded scale channels)
+    # -> sigmoid -> scale max-pool -> interpolate4d to 60 -> CHM4d (1-channel
+    # true-4D conv) -> softplus -> mutual NN -> readout). The conv parts time
+    # few_shot_seg_cwt_tpu.models.conv4d.conv4d (custom VJP) at exactly the
+    # CHM kernel/volume shapes; the glue part times everything between the
+    # two convs; mutual_nn times the (1,3600,3600) filter.
+    from few_shot_seg_cwt_tpu.models.chm import interpolate4d
+    from few_shot_seg_cwt_tpu.models.conv4d import conv4d as _conv4d_op
+    from few_shot_seg_cwt_tpu.ops.corr import mutual_nn_filter
+
+    hh = h // 2                      # 30 at the protocol
+    k6 = jax.random.normal(jax.random.PRNGKey(11), (5, 5, 5, 5, 9, 9), dt) * 0.02
+    k4 = jax.random.normal(jax.random.PRNGKey(12), (5, 5, 5, 5, 1, 1), dt) * 0.02
+
+    def chm_conv(kern, x):
+        return _conv4d_op(x, kern)
+
+    def chm_conv_grad(kern, x):
+        def loss(kk, xx):
+            return jnp.mean(jnp.square(chm_conv(kk, xx).astype(jnp.float32)))
+        return jax.grad(loss, argnums=(0, 1))(kern, x)
+
+    rec("chm6d_conv_fwd",
+        lambda: slope(param_chain(chm_conv, k6), [(1, hh, hh, hh, hh, 9)]),
+        "param-perturb")
+    rec("chm6d_conv_grad",
+        lambda: slope(param_chain(chm_conv_grad, k6), [(1, hh, hh, hh, hh, 9)]),
+        "param-perturb")
+    rec("chm4d_conv_fwd",
+        lambda: slope(param_chain(chm_conv, k4), [(1, h, h, h, h, 1)]),
+        "param-perturb")
+    rec("chm4d_conv_grad",
+        lambda: slope(param_chain(chm_conv_grad, k4), [(1, h, h, h, h, 1)]),
+        "param-perturb")
+
+    def chm_glue(x):
+        # the exact between-convs pipeline: sigmoid -> scale max-pool ->
+        # interpolate4d to 60 (CHMLearner, models/chm.py)
+        y = jax.nn.sigmoid(x)
+        y = y.reshape(1, 9, hh, hh, hh, hh).max(axis=1)
+        return interpolate4d(y, h)                    # (1, 60, 60, 60, 60)
+
+    def glue_prog(grad):
+        def mk_prog(steps):
+            def prog(x):
+                def body(c, _):
+                    xc = x * (1 + c * 1e-12)
+                    if grad:
+                        out, vjp = jax.vjp(chm_glue, xc)
+                        (dx,) = vjp(out)
+                        s = jnp.mean(dx.astype(jnp.float32))
+                    else:
+                        s = jnp.mean(chm_glue(xc).astype(jnp.float32))
+                    return s, None
+                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+                return c
+            return prog
+        return mk_prog
+
+    rec("chm_glue", lambda: slope(glue_prog(False),
+                                  [(1, 3, 3, hh, hh, hh, hh)]),
+        "input-perturb")
+    rec("chm_glue_vjp", lambda: slope(glue_prog(True),
+                                      [(1, 3, 3, hh, hh, hh, hh)]),
+        "input-perturb")
+
+    rec("chm_mutual_nn", lambda: slope(carry_chain(
+            lambda x: mutual_nn_filter(jax.nn.softplus(x))),
+            [SHAPES["corr2d"]]),
+        "carry+renorm")
+
     # ---- attention readout (perturb the value matrix)
     def ro_prog(steps):
         def prog(c2d, v):
