@@ -343,7 +343,15 @@ def main() -> None:
                          proj_drop=0.5, att_drop=0.5, trans_lr=0.0015).items():
             cfg[k] = v
         cfg.use_amp = dtype == "bfloat16"
-        h_engine = HeadEngine(cfg, head)
+        if head == "cca":
+            # incremental multi-way engine (train_cca semantics); synthetic
+            # episode cls ids are 1..16
+            from few_shot_seg_cwt_tpu.episodic.cca import CCAEngine
+
+            cfg.num_classes_tr = 17
+            h_engine = CCAEngine(cfg)
+        else:
+            h_engine = HeadEngine(cfg, head)
         _progress(f"initializing {head} head trainables")
         trainables = init_head_trainables(cfg, h_engine, vars_b)
         _progress("head trainables initialized")

@@ -221,6 +221,60 @@ def main() -> None:
               [SHAPES["vol10"]]),
         "param-perturb")
 
+    # ---- rank-4-route pivots + mutual matching: the SHIPPED layout (the
+    # 6D parts above time the fallback route). These are the addends of the
+    # rank-4 step decomposition: a symmetric 3-block stack's forward is
+    # 2 x (r4_pivot_2to10 + r4_pivot_10to10 + r4_pivot_10to1) around the
+    # two mm_bqsc passes (BENCH.md round 5).
+    from few_shot_seg_cwt_tpu.ops.corr import mutual_matching_bqsc
+
+    S4 = h * h
+    dims4 = (h, h, h, h)
+
+    def r4_pivot(ci, co, grad, swap=False):
+        piv = CenterPivotConv4d(out_channels=co)
+        pv = piv.init(key, jnp.zeros((1, S4, S4, ci), dt),
+                      flat_dims=dims4, bqsc=True)
+
+        def fwd(p, x):
+            return piv.apply(p, x, swap, False, dims4, True)
+
+        if not grad:
+            return param_chain(fwd, pv), pv
+
+        def g(p, x):
+            def loss(pp, xx):
+                return jnp.mean(jnp.square(fwd(pp, xx).astype(jnp.float32)))
+            return jax.grad(loss, argnums=(0, 1))(p, x)
+
+        return param_chain(g, pv), pv
+
+    for ci, co, nm in [(2, 10, "2to10"), (10, 10, "10to10"), (10, 1, "10to1")]:
+        rec(f"r4_pivot_{nm}_fwd",
+            lambda ci=ci, co=co: slope(r4_pivot(ci, co, False)[0],
+                                       [(1, S4, S4, ci)]),
+            "param-perturb")
+        rec(f"r4_pivot_{nm}_grad",
+            lambda ci=ci, co=co: slope(r4_pivot(ci, co, True)[0],
+                                       [(1, S4, S4, ci)]),
+            "param-perturb")
+    # the swapped-role block of the symmetric stack (exchanged kernels)
+    rec("r4_pivot_10to10_swap_fwd",
+        lambda: slope(r4_pivot(10, 10, False, swap=True)[0], [(1, S4, S4, 10)]),
+        "param-perturb")
+
+    rec("mm_bqsc_vol10", lambda: slope(carry_chain(mutual_matching_bqsc),
+                                       [(1, S4, S4, 10)]),
+        "carry+renorm")
+
+    def mm_bqsc_vjp(x):
+        out, vjp = jax.vjp(mutual_matching_bqsc, x)
+        (dx,) = vjp(out)
+        return dx
+    rec("mm_bqsc_vjp_vol10", lambda: slope(carry_chain(mm_bqsc_vjp),
+                                           [(1, S4, S4, 10)]),
+        "carry+renorm")
+
     # ---- query-plane conv layout A/B (BENCH.md round 5): the rank-4 route pays two
     # whole-volume (0,2,1,3) permutations per pivot to batch the query-plane
     # conv as NHWC. The HWNC candidate instead feeds XLA a conv whose BATCH
