@@ -206,6 +206,10 @@ _DEFAULTS: Dict[str, Any] = {
                                # per lax.map step (1 = fully sequential, the
                                # rank-4-route-safe default at 473px; rank-5
                                # layouts pad catastrophically there)
+    "eval_split_prologue": False,  # head eval: one vmapped backbone+inner
+                               # loop pass for the whole batch, lax.map only
+                               # the consensus forward (exact; costs E x
+                               # staged stage-features in HBM)
     "head_grad_accum": True,   # head train step: accumulate per-episode grads
                                # sequentially (exact; bounds HBM by 1 episode)
 

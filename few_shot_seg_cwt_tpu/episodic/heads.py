@@ -542,8 +542,7 @@ class HeadEngine:
     def eval_metrics_batch(self):
         """Validation: deterministic head forward, metrics for pred1 and pred."""
 
-        def eval_one(trainables, vars_b, episode, rng, frozen_vars):
-            parts = self.episode_parts(vars_b, episode, rng)
+        def eval_tail(trainables, parts, episode, rng, frozen_vars):
             if self.head_type == "asy":
                 _, preds = self._loss_asy(trainables, parts, episode, rng, det=True)
             elif self.head_type == "fuse":
@@ -564,6 +563,10 @@ class HeadEngine:
                 out[f"union{name}"] = union
             return out
 
+        def eval_one(trainables, vars_b, episode, rng, frozen_vars):
+            parts = self.episode_parts(vars_b, episode, rng)
+            return eval_tail(trainables, parts, episode, rng, frozen_vars)
+
         # lax.map, not vmap: batching the episode axis over the rank-4
         # consensus route turns its rank-4 transposes into rank-5 ones, for
         # which XLA:TPU picks layouts with catastrophic padding (a 49 MB
@@ -575,13 +578,29 @@ class HeadEngine:
         # episodes (lax.map batch_size) — the dial for sub-473 shapes where
         # the rank-5 layouts stay sane; it must divide the batch.
         tile = int(self.cfg.get("eval_episode_tile", 1) or 1)
+        # eval_split_prologue: batch the episode PROLOGUE (backbone features
+        # + inner-loop adaptation — plain NHWC convs and a scan, which
+        # batch cleanly and carry none of the consensus route's rank-5
+        # layout hazard) across all episodes with ONE vmapped call, then
+        # lax.map only the head forward. Identical math; the lax.map fence
+        # stays exactly where the hazard is.
+        split = bool(self.cfg.get("eval_split_prologue", False))
 
         def fn(trainables, vars_b, batch, rngs, frozen_vars):
-            f = lambda er: eval_one(trainables, vars_b, er[0], er[1],
-                                    frozen_vars)
+            if split:
+                parts_all = jax.vmap(
+                    self.episode_parts, in_axes=(None, 0, 0)
+                )(vars_b, batch, rngs)
+                f = lambda per: eval_tail(trainables, per[0], per[1], per[2],
+                                          frozen_vars)
+                xs = (parts_all, batch, rngs)
+            else:
+                f = lambda er: eval_one(trainables, vars_b, er[0], er[1],
+                                        frozen_vars)
+                xs = (batch, rngs)
             if tile > 1 and batch["q_label"].shape[0] % tile == 0:
-                return jax.lax.map(f, (batch, rngs), batch_size=tile)
-            return jax.lax.map(f, (batch, rngs))
+                return jax.lax.map(f, xs, batch_size=tile)
+            return jax.lax.map(f, xs)
 
         return jax.jit(fn)
 

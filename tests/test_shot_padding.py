@@ -246,3 +246,40 @@ def test_scanned_shot_readout_equals_batched():
     np.testing.assert_allclose(np.asarray(native), np.asarray(batched),
                                rtol=1e-6, atol=1e-7)
     engine.cfg.shot_native = False
+
+
+def test_eval_split_prologue_equals_sequential():
+    """eval_metrics_batch with the vmapped prologue == the all-sequential
+    map — pure restructure, identical math."""
+    import jax
+    import jax.numpy as jnp
+
+    from few_shot_seg_cwt_tpu.config import default_cfg
+    from few_shot_seg_cwt_tpu.data.synthetic import make_episode_batch
+    from few_shot_seg_cwt_tpu.episodic.heads import HeadEngine
+    from few_shot_seg_cwt_tpu.train.common import init_backbone
+    from few_shot_seg_cwt_tpu.train.train_head import init_head_trainables
+
+    cfg = default_cfg()
+    cfg.image_size = 33
+    cfg.adapt_iter = 2
+    cfg.rmid = "l34"
+    cfg.att_wt = 0.2
+    engine = HeadEngine(cfg, "mmn")
+    vars_b = init_backbone(cfg, engine)
+    trainables = init_head_trainables(cfg, engine, vars_b)
+
+    host = make_episode_batch(seed=9, e=4, size=33, shot=1)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+    rngs = jax.random.split(jax.random.PRNGKey(5), 4)
+
+    seq = engine.eval_metrics_batch(trainables, vars_b, batch, rngs, None)
+
+    cfg2 = cfg.clone()
+    cfg2.eval_split_prologue = True
+    engine2 = HeadEngine(cfg2, "mmn")
+    got = engine2.eval_metrics_batch(trainables, vars_b, batch, rngs, None)
+
+    for k in seq:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(seq[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
