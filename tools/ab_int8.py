@@ -40,6 +40,12 @@ def main(argv=None):
     ap.add_argument("--image-size", type=int, default=473)
     ap.add_argument("--shot", type=int, default=1)
     ap.add_argument("--use-amp", action="store_true")
+    ap.add_argument("--replay", default=None,
+                    help="episode-log jsonl (data/replay.py): run the A/B on "
+                         "a recorded real-image stream instead of synthetic "
+                         "episodes — the decision-grade comparison")
+    ap.add_argument("--pth", default=None,
+                    help="stage-1 PSPNet .pth: import real backbone weights")
     args = ap.parse_args(argv)
 
     import jax
@@ -63,7 +69,27 @@ def main(argv=None):
     os.environ.pop("FSS_NCONS_INT8", None)
     engine_a = HeadEngine(cfg, args.head)
     vars_b = init_backbone(cfg, engine_a)
+    if args.pth:
+        from few_shot_seg_cwt_tpu.train.common import _overlay
+        from few_shot_seg_cwt_tpu.utils.ckpt import (import_pspnet,
+                                                     load_torch_checkpoint)
+
+        vars_b = _overlay(vars_b, import_pspnet(
+            load_torch_checkpoint(args.pth), arch=cfg.arch,
+            skip_classifier=True))
     trainables = init_head_trainables(cfg, engine_a, vars_b)
+
+    replay_batches = None
+    if args.replay:
+        from few_shot_seg_cwt_tpu.data.loader import EpisodeLoader
+        from few_shot_seg_cwt_tpu.data.replay import ReplayEpisodicDataset
+
+        ds = ReplayEpisodicDataset(cfg, args.replay)
+        args.batch = min(args.batch, len(ds))
+        args.episodes = min(args.episodes, len(ds))
+        loader = EpisodeLoader(ds, batch_size=args.batch, shuffle=False,
+                               num_workers=0, drop_last=True)
+        replay_batches = list(loader)
 
     def serve_fn(engine):
         def f(trainables, vars_b, batch, rngs):
@@ -76,9 +102,12 @@ def main(argv=None):
     def run(engine, fn):
         masks, labels = [], []
         e = args.batch
-        for i in range(0, args.episodes, e):
-            host = make_episode_batch(seed=100 + i, e=e,
-                                      size=args.image_size, shot=args.shot)
+        for bi, i in enumerate(range(0, args.episodes, e)):
+            if replay_batches is not None:
+                host = replay_batches[bi % len(replay_batches)]
+            else:
+                host = make_episode_batch(seed=100 + i, e=e,
+                                          size=args.image_size, shot=args.shot)
             batch = {k: jnp.asarray(host[k])
                      for k in ("s_img", "s_label", "q_img", "q_label", "cls")}
             rngs = jax.random.split(jax.random.PRNGKey(7 + i), e)
