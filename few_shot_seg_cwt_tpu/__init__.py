@@ -15,3 +15,15 @@ research extensions). The compute path is jit-compiled end to end:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("FSS_PLATFORM"):
+    # Escape hatch for hosts whose sitecustomize pins JAX_PLATFORMS (the
+    # axon tunnel does): plain env vars cannot override that hook, so
+    # FSS_PLATFORM=cpu routes a CLI run off-chip via jax.config — e.g. a
+    # synthetic-data smoke run that must not contend with a benchmark
+    # owning the single-tenant chip. Read at import, before any jax use.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FSS_PLATFORM"])

@@ -38,23 +38,27 @@ _default_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "un
 
 
 def qplane_hwnc_active() -> bool:
-    """True when the rank-4 route's query-plane conv runs transpose-free.
+    """True when the rank-4 route's query-plane conv runs "transpose-free".
 
-    Instead of batching the query-plane conv as NHWC via two whole-volume
-    rank-4 permutations (transpose in, transpose back), feed XLA:TPU the
-    free ``(hq, wq, sn, C)`` view of the same bytes with the BATCH dim on
-    dim 2 (``("HWNC", "HWIO", "HWNC")`` dimension numbers). XLA lowers this
-    natively (no hidden re-transpose) — measured A/B in BENCH.md round 5
-    ("query-plane conv layout"). Applies only to unit-batch volumes (every
-    hot path scans/maps episodes, so B=1 inside the jitted step);
-    ``FSS_QPLANE_HWNC=0`` restores the transpose route. Like FSS_NCONS_R4,
-    the flag is read at TRACE time and is not part of any jit cache key:
-    set it before the first compile of a step; toggling it afterwards has
-    no effect on already-compiled functions.
+    The candidate route feeds XLA:TPU the free ``(hq, wq, sn, C)`` view of
+    the volume with the BATCH dim on dim 2 (``("HWNC", "HWIO", "HWNC")``
+    dimension numbers) instead of batching the query-plane conv as NHWC via
+    two whole-volume rank-4 permutations. OFF BY DEFAULT: the end-to-end
+    A/B on the real chip (BENCH.md round 5, "query-plane conv layout")
+    measured the HWNC route at **3.63 eps/s vs 6.21 eps/s** for the
+    transpose route (mmn fp32 train step @473px) with program HBM blown
+    from 13.7 to 15.9 GB — XLA:TPU does NOT lower the batch-on-dim-2 conv
+    natively; it materializes a worse internal layout than the two explicit
+    permutations it was meant to save. ``FSS_QPLANE_HWNC=1`` opts in (the
+    math is identical — tests/test_matching_r4.py — so the A/B stays one
+    env var away if a future XLA release fixes the lowering). Like
+    FSS_NCONS_R4, the flag is read at TRACE time and is not part of any
+    jit cache key: set it before the first compile of a step; toggling it
+    afterwards has no effect on already-compiled functions.
     """
     import os
 
-    return os.environ.get("FSS_QPLANE_HWNC") != "0"
+    return os.environ.get("FSS_QPLANE_HWNC") == "1"
 
 
 def _uniform_bias_init(kernel_hw: int):
@@ -298,12 +302,11 @@ class CenterPivotConv4d(nn.Module):
         s_out = plane_conv(x.reshape(b * qn, hs, ws, c), k_s, b_s,
                            pad_s).reshape(b, qn, sn, co)
         if b == 1 and qplane_hwnc_active():
-            # transpose-free query-plane conv: feed XLA the free
-            # (hq, wq, sn, C) view of the same bytes with the BATCH dim on
-            # dim 2 ("HWNC" dimension numbers). Saves the two whole-volume
-            # rank-4 permutations per pivot (measured A/B in BENCH.md
-            # round 5, "query-plane conv layout"); identical math,
-            # tests/test_matching_r4.py.
+            # opt-in (FSS_QPLANE_HWNC=1) batch-on-dim-2 query-plane conv:
+            # identical math (tests/test_matching_r4.py) but MEASURED SLOWER
+            # than the transpose route on XLA:TPU — 3.63 vs 6.21 eps/s mmn
+            # fp32 (BENCH.md round 5, "query-plane conv layout"). Kept as a
+            # one-env-var A/B against future XLA lowering changes.
             q_out = plane_conv(x.reshape(hq, wq, sn, c), k_q, b_q,
                                pad_q, "HWNC").reshape(1, qn, sn, co)
         else:
@@ -364,9 +367,89 @@ class CenterPivotConv4d(nn.Module):
             b, self.out_channels, oh * ow, ohs * ows)
 
 
+def conv4d_im2col_mode() -> str:
+    """True-4D conv forward route selector (``FSS_CONV4D_IM2COL``).
+
+    The CHM kernels are 1-to-9-channel 4D convs — as looped conv3d's they
+    hand XLA:TPU convolutions whose channel dim fills under 8% of the
+    128-lane MXU tile. The im2col routes fold query-plane kernel taps into
+    the CHANNEL dim instead (identical math, exactness-tested in
+    tests/test_conv4d_im2col.py):
+
+    * ``"qp"``: ONE support-plane conv2d with ``k0*k1*ci`` input channels
+      (225 for CHM6d) at a ``k0*k1``x input-memory cost (im2col buffer);
+    * ``"q"``: ``k0`` conv2d's with ``k1*ci`` channels (``k1``x memory);
+    * unset/``"0"``: the shifted-conv3d loop (the round-4 default).
+
+    Opt-in until the end-to-end A/B is recorded in BENCH.md (the HWNC
+    lesson: no layout default flips without an on-chip A/B). Read at TRACE
+    time; not part of any jit cache key.
+    """
+    import os
+
+    v = os.environ.get("FSS_CONV4D_IM2COL", "0")
+    if v in ("", "0"):
+        return "loop"
+    if v in ("1", "qp"):
+        return "qp"
+    if v == "q":
+        return "q"
+    raise ValueError(f"FSS_CONV4D_IM2COL must be '', '0', '1', 'qp' or 'q', "
+                     f"got {v!r}")
+
+
+def _conv4d_fwd_im2col(x: jnp.ndarray, kernel: jnp.ndarray,
+                       fold_all: bool) -> jnp.ndarray:
+    """4D conv fwd with query-plane taps folded into conv channels.
+
+    out[b,H,W,s,t,co] = sum_{p,q,r,s'} K[p,q,r,s',ci,co] * xpad[b,H+p,W+q,
+    s+r,t+s',ci] — gathering the (p,q) taps as channels makes this a plain
+    support-plane conv2d with (k2,k3) window and k0*k1*ci input channels
+    (batch b*h*w). fold_all=False folds only the q axis (k0 convs of
+    k1*ci channels) to cap the im2col buffer at k1x the input.
+    """
+    b, h, w, hs, ws, ci = x.shape
+    k0, k1, k2, k3 = kernel.shape[:4]
+    co = kernel.shape[-1]
+    p0, p1 = k0 // 2, k1 // 2
+    pad_s = [(k2 // 2,) * 2, (k3 // 2,) * 2]
+
+    def splane_conv(t, kern):
+        # t: (N, hs, ws, C), kern: (k2, k3, C, co)
+        dn = jax.lax.conv_dimension_numbers(t.shape, kern.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            t, kern, (1, 1), pad_s, dimension_numbers=dn)
+
+    if fold_all:
+        xp = jnp.pad(x, ((0, 0), (p0, p0), (p1, p1), (0, 0), (0, 0), (0, 0)))
+        # channel order [p slowest, q, ci fastest] must match the kernel
+        # reshape below
+        taps = [xp[:, p : p + h, q : q + w]
+                for p in range(k0) for q in range(k1)]
+        xt = jnp.concatenate(taps, axis=-1)             # (b,h,w,hs,ws,k0*k1*ci)
+        kf = kernel.transpose(2, 3, 0, 1, 4, 5).reshape(k2, k3, k0 * k1 * ci, co)
+        o = splane_conv(xt.reshape(b * h * w, hs, ws, k0 * k1 * ci), kf)
+        return o.reshape(b, h, w, hs, ws, co)
+
+    xp = jnp.pad(x, ((0, 0), (p0, p0), (p1, p1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for p in range(k0):
+        taps = [xp[:, p : p + h, q : q + w] for q in range(k1)]
+        xt = jnp.concatenate(taps, axis=-1)             # (b,h,w,hs,ws,k1*ci)
+        kf = kernel[p].transpose(1, 2, 0, 3, 4).reshape(k2, k3, k1 * ci, co)
+        o = splane_conv(xt.reshape(b * h * w, hs, ws, k1 * ci), kf)
+        out = o if out is None else out + o
+    return out.reshape(b, h, w, hs, ws, co)
+
+
 def _conv4d_fwd(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Stride-1 same-padding 4D conv as shifted 3D convs (the fast-compiling
-    form: XLA:TPU emits a forward conv3d at these shapes in ~10 s)."""
+    form: XLA:TPU emits a forward conv3d at these shapes in ~10 s), or the
+    channel-folded im2col form when FSS_CONV4D_IM2COL selects it."""
+    mode = conv4d_im2col_mode()
+    if mode != "loop":
+        return _conv4d_fwd_im2col(x, kernel, fold_all=(mode == "qp"))
     b, h, w, hs, ws, c_in = x.shape
     k = kernel.shape[:4]
     c_out = kernel.shape[-1]

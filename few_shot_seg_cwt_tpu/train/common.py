@@ -160,9 +160,10 @@ def init_backbone(cfg, engine, rng: Optional[jax.Array] = None,
     """
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.manual_seed or 0)
     probe = jnp.zeros((1, 33, 33, 3), jnp.float32)
+    # probe/rng as jit ARGUMENTS so XLA can't constant-fold the init forward
     variables = jax.jit(
-        lambda: engine.backbone.init({"params": rng}, probe, train=False)
-    )()
+        lambda r, p: engine.backbone.init({"params": r}, p, train=False)
+    )(rng, probe)
     variables = jax.tree.map(np.asarray, variables)  # host-side, mutable copy
 
     if cfg.resume_weights:
@@ -216,7 +217,10 @@ def init_cwt(cfg, engine, rng: Optional[jax.Array] = None):
     d = cfg.bottleneck_dim
     q = jnp.zeros((1, cfg.num_classes_tr, d), jnp.float32)
     k = jnp.zeros((1, 4, 4, d), jnp.float32)
-    return jax.jit(lambda: engine.cwt.init(rng, q, k, k))()
+    # pass operands as jit ARGUMENTS (not closure constants): closed-over
+    # zeros become jaxpr constants and XLA constant-folds the init forward
+    # at compile time — minutes per conv on the CPU backend
+    return jax.jit(lambda r, q_, k_: engine.cwt.init(r, q_, k_, k_))(rng, q, k)
 
 
 def trans_ckpt_dir(cfg) -> str:

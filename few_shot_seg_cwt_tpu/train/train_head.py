@@ -84,15 +84,18 @@ def init_head_trainables(cfg, engine: HeadEngine, vars_b):
         dummy["w0"] = jnp.zeros((cfg.num_classes_tr, cfg.bottleneck_dim), jnp.float32)
         dummy["row_mask"] = jnp.ones((cfg.num_classes_tr,), bool)
 
-    def init_fn(rng):
-        # reuse the engine prologue (with a 1-step inner loop for speed)
+    def init_fn(rng, vb, dm):
+        # reuse the engine prologue (with a 1-step inner loop for speed).
+        # vars_b/dummy enter as jit ARGUMENTS: as closure constants XLA
+        # constant-folds the whole backbone forward at compile time, which
+        # takes minutes per conv on the CPU backend.
         short_cfg_steps = engine.cfg.adapt_iter
         engine.cfg.adapt_iter = 1
-        parts = engine.episode_parts(vars_b, dummy, rng)
+        parts = engine.episode_parts(vb, dm, rng)
         engine.cfg.adapt_iter = short_cfg_steps
         return parts
 
-    parts = jax.jit(init_fn)(jax.random.PRNGKey(0))
+    parts = jax.jit(init_fn)(jax.random.PRNGKey(0), vars_b, dummy)
     rng = jax.random.PRNGKey(1)
     ht = engine.head_type
     # assemble the init arguments per head, then run Module.init under ONE

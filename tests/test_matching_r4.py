@@ -134,11 +134,13 @@ def test_qplane_hwnc_matches_transpose_route(monkeypatch):
         return jnp.sum(jnp.square(out)), out
 
     for swap in (False, True):
-        monkeypatch.setenv("FSS_QPLANE_HWNC", "0")
+        # default (unset) = transpose route: the HWNC layout measured SLOWER
+        # on the real chip (BENCH.md round 5) and is now opt-in via =1
+        monkeypatch.delenv("FSS_QPLANE_HWNC", raising=False)
         assert not qplane_hwnc_active()
         (l0, o0), g0 = jax.value_and_grad(loss, argnums=(0, 1),
                                           has_aux=True)(variables, x, swap)
-        monkeypatch.delenv("FSS_QPLANE_HWNC")
+        monkeypatch.setenv("FSS_QPLANE_HWNC", "1")
         assert qplane_hwnc_active()
         (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1),
                                           has_aux=True)(variables, x, swap)

@@ -46,9 +46,17 @@ def main(argv=None):
                          "episodes — the decision-grade comparison")
     ap.add_argument("--pth", default=None,
                     help="stage-1 PSPNet .pth: import real backbone weights")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (the JAX_PLATFORMS env var "
+                         "cannot override the axon sitecustomize hook) — "
+                         "lets the accuracy A/B run off-chip while the chip "
+                         "is busy with timing sweeps")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
