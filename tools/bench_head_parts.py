@@ -129,8 +129,12 @@ def main() -> None:
         return (t2K - tK) / K
 
     def perturb(tree, c):
+        # cast back to the leaf dtype: c is an f32 loop carry, and bf16 * f32
+        # promotes to f32 — which crashes raw lax convs (operand dtype
+        # mismatch) and silently upgrades every bf16 param-perturb part to
+        # f32 compute. The data dependency on c survives the cast.
         return jax.tree.map(
-            lambda t: t * (1 + c * 1e-12)
+            lambda t: (t * (1 + c * 1e-12)).astype(t.dtype)
             if jnp.issubdtype(t.dtype, jnp.floating) else t, tree)
 
     def param_chain(fn, params):
