@@ -379,6 +379,15 @@ def conv4d_im2col_mode() -> str:
     * ``"qp"``: ONE support-plane conv2d with ``k0*k1*ci`` input channels
       (225 for CHM6d) at a ``k0*k1``x input-memory cost (im2col buffer);
     * ``"q"``: ``k0`` conv2d's with ``k1*ci`` channels (``k1``x memory);
+    * ``"gemm"``: NO conv HLOs at all — im2col over the query taps, one
+      dense ``(k0*k1*ci, k2*k3*co)`` matmul mixing query taps into support
+      taps, then a col2im shifted-add over the support planes. The measured
+      chm4d conv sits exactly at the 1-output-channel MXU fill cap
+      (251 GFLOP/s ~= 32 TF/s / 128 lanes); the matmul form contracts over
+      taps*channels instead, and plain autodiff yields matmul grads (dk is
+      one MXU-perfect ``(taps, P) x (P, taps)`` contraction instead of the
+      k0*k1-step scanned kernel-grad, and the compile-pathological conv
+      kernel-grad emitter is out of the program entirely);
     * unset/``"0"``: the shifted-conv3d loop (the round-4 default).
 
     Opt-in until the end-to-end A/B is recorded in BENCH.md (the HWNC
@@ -392,10 +401,10 @@ def conv4d_im2col_mode() -> str:
         return "loop"
     if v in ("1", "qp"):
         return "qp"
-    if v == "q":
-        return "q"
-    raise ValueError(f"FSS_CONV4D_IM2COL must be '', '0', '1', 'qp' or 'q', "
-                     f"got {v!r}")
+    if v in ("q", "gemm"):
+        return v
+    raise ValueError(f"FSS_CONV4D_IM2COL must be '', '0', '1', 'qp', 'q' or "
+                     f"'gemm', got {v!r}")
 
 
 def _conv4d_fwd_im2col(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -443,11 +452,53 @@ def _conv4d_fwd_im2col(x: jnp.ndarray, kernel: jnp.ndarray,
     return out.reshape(b, h, w, hs, ws, co)
 
 
+def _conv4d_gemm(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """4D conv as im2col -> one tap-mixing matmul -> col2im. Plain jnp ops,
+    differentiable by autodiff (no custom VJP, no conv HLOs).
+
+    out[b,H,W,U,V,co]
+      = sum_{p,q,r,s,ci} K[p,q,r,s,ci,co] * xpad[b,H+p,W+q,U+r,V+s,ci]
+      = sum_{r,s} Y[b,H,W,U+r-p2,V+s-p3,(r,s,co)]
+    with Y = taps @ km, taps the query-tap im2col (b,h,w,hs,ws,k0*k1*ci)
+    and km the kernel as a (k0*k1*ci, k2*k3*co) matrix. The contraction
+    runs over taps*channels (25*ci for a 5x5x5x5 kernel) instead of the
+    conv form's ci alone, and the output dim is k2*k3*co instead of co —
+    which is what lets a 1->1-channel CHM4d escape the 1/128 MXU fill cap
+    its conv form is measured at. Memory: the taps and Y buffers are each
+    ~k0*k1 x the input volume.
+    """
+    b, h, w, hs, ws, ci = x.shape
+    k0, k1, k2, k3 = kernel.shape[:4]
+    co = kernel.shape[-1]
+    p0, p1, p2, p3 = k0 // 2, k1 // 2, k2 // 2, k3 // 2
+    x, kernel = _promote(x, kernel)
+    xp = jnp.pad(x, ((0, 0), (p0, p0), (p1, p1), (0, 0), (0, 0), (0, 0)))
+    # channel order [p slowest, q, ci fastest] matches km's ravel below
+    taps = jnp.concatenate(
+        [xp[:, p : p + h, q : q + w] for p in range(k0) for q in range(k1)],
+        axis=-1)                                    # (b,h,w,hs,ws,k0*k1*ci)
+    km = kernel.transpose(0, 1, 4, 2, 3, 5).reshape(k0 * k1 * ci, k2 * k3 * co)
+    y = taps.reshape(-1, k0 * k1 * ci) @ km
+    y = y.reshape(b, h, w, hs, ws, k2, k3, co)
+    yp = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (p2, p2), (p3, p3),
+                     (0, 0), (0, 0), (0, 0)))
+    out = None
+    for r in range(k2):
+        for s in range(k3):
+            o = yp[:, :, :, r : r + hs, s : s + ws, r, s]
+            out = o if out is None else out + o
+    return out
+
+
 def _conv4d_fwd(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Stride-1 same-padding 4D conv as shifted 3D convs (the fast-compiling
     form: XLA:TPU emits a forward conv3d at these shapes in ~10 s), or the
     channel-folded im2col form when FSS_CONV4D_IM2COL selects it."""
     mode = conv4d_im2col_mode()
+    if mode == "gemm":
+        # reached only via a direct _conv4d call (conv4d() routes gemm
+        # around the custom VJP); keep the forward consistent either way
+        return _conv4d_gemm(x, kernel)
     if mode != "loop":
         return _conv4d_fwd_im2col(x, kernel, fold_all=(mode == "qp"))
     b, h, w, hs, ws, c_in = x.shape
@@ -572,7 +623,12 @@ def conv4d(x: jnp.ndarray, kernel: jnp.ndarray,
         if ksz % 2 != 1:
             raise ValueError(f"conv4d supports odd kernels only, got "
                              f"{kernel.shape[:4]}")
-    out = _conv4d(x, kernel)
+    if conv4d_im2col_mode() == "gemm":
+        # matmul form: plain autodiff (its dk IS a matmul — the custom VJP
+        # exists to fix the conv form's kernel grad and must not intercept)
+        out = _conv4d_gemm(x, kernel)
+    else:
+        out = _conv4d(x, kernel)
     if bias is not None:
         out = out + bias
     return out

@@ -1,6 +1,7 @@
 """The channel-folded im2col conv4d forward routes are exactly the
-shifted-conv3d loop, forward and backward (dx through the custom VJP takes
-the active route too; dk is route-independent).
+shifted-conv3d loop, forward and backward (q/qp: dx through the custom VJP
+takes the active route, dk is route-independent; gemm: the matmul form
+bypasses the custom VJP entirely and autodiff supplies both grads).
 
 Reference semantics under test: the true stride-1 4D convolution of
 src/model/base/chm.py:12-37 (CHM4d fast4d) at CHM-like channel counts.
@@ -20,7 +21,7 @@ def _loss(x, k):
     return jnp.sum(jnp.square(out)), out
 
 
-@pytest.mark.parametrize("mode", ["q", "qp"])
+@pytest.mark.parametrize("mode", ["q", "qp", "gemm"])
 @pytest.mark.parametrize("shape,ksz", [
     ((1, 6, 5, 4, 7, 1), (5, 5, 5, 5)),   # chm4d-like: 1 channel, asym dims
     ((2, 5, 5, 4, 4, 3), (3, 3, 3, 3)),   # multi-channel, batch 2
@@ -37,7 +38,7 @@ def test_im2col_matches_loop(monkeypatch, mode, shape, ksz):
                                       has_aux=True)(x, k)
 
     monkeypatch.setenv("FSS_CONV4D_IM2COL", mode)
-    assert conv4d_im2col_mode() in ("q", "qp")
+    assert conv4d_im2col_mode() in ("q", "qp", "gemm")
     (l1, o1), g1 = jax.value_and_grad(_loss, argnums=(0, 1),
                                       has_aux=True)(x, k)
 
