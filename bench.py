@@ -104,12 +104,14 @@ def main() -> None:
     mode = os.environ.get("BENCH_MODE", "eval")
     # head mode keeps (E, 60, 60, 60, 60, 10) NeighConsensus activations
     # alive for the backward pass (~0.5 GB/episode fp32) — default to a
-    # batch that fits v5e HBM with headroom. Eval default 40 (round 4):
-    # measured program HBM 13.39 of 15.75 GB (batch 32: 10.77; batch 48
-    # compiles ~0.3 GB past HBM) for +2% — the margin quantified by the
-    # program_hbm_gb field below
+    # batch that fits v5e HBM with headroom. Eval defaults are per-dtype
+    # fit points (BENCH.md round-5 batch x dtype matrix): fp32 40
+    # (13.39 of 15.75 GB; 48 compiles ~0.3 GB past HBM), bf16 56
+    # (12.12 GB, 134.0 eps/s vs 129.1 at 40)
+    _dt_env = os.environ.get("BENCH_DTYPE", "float32")
+    _eval_default = "56" if _dt_env == "bfloat16" else "40"
     e_batch = int(os.environ.get("BENCH_EPISODE_BATCH",
-                                 "4" if mode.startswith("head") else "40"))
+                                 "4" if mode.startswith("head") else _eval_default))
     # 24 timed batches (~8s of device time at the protocol shape): with the
     # transport's transient stalls, 8 batches left the reported median
     # anywhere in a ±10% band — the r2 driver run (92.7) and the documented
