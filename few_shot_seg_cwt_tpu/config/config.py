@@ -110,6 +110,10 @@ _DEFAULTS: Dict[str, Any] = {
                                # tensors stay rank-4 — no vmap/rank-5
                                # layouts, no per-shot remat recompute);
                                # costs shot x the volume activations
+    "shot_remat": True,        # checkpoint each mapped shot (activations
+                               # bounded to one shot; one recomputed fwd
+                               # per shot in the bwd). False: memory x shot
+                               # for ~26 ms/shot bf16 back (BENCH.md r5)
     "use_amp": False,          # reference AMP flag; maps to bf16 compute here
     "tp": 1.0,                 # Adapt_SegLoss weight exponent
     # ---- model ----

@@ -260,10 +260,18 @@ class HeadEngine:
         # backward that does not fit at 473px. The tile must divide the shot
         # count (lax.map would otherwise add a ragged remainder program).
         tile = int(self.cfg.get("shot_tile", 1) or 1)
+        # shot_remat (default True) checkpoints each mapped shot, bounding
+        # live activations to ONE shot's consensus stack at the price of one
+        # recomputed forward per shot in the backward (~26 ms/shot bf16 at
+        # 473px — the measured gap between the 5-shot per-shot cost and the
+        # 1-shot pipeline, BENCH.md round 5). False trades shot x activation
+        # memory for that recompute; it changes math not at all.
+        ck = (lambda f: jax.checkpoint(f)) \
+            if self.cfg.get("shot_remat", True) else (lambda f: f)
         if tile > 1 and shot % tile == 0:
-            return jax.lax.map(jax.checkpoint(one), (fs_feats, f_s, rngs),
+            return jax.lax.map(ck(one), (fs_feats, f_s, rngs),
                                batch_size=tile)
-        return jax.lax.map(jax.checkpoint(one), (fs_feats, f_s, rngs))
+        return jax.lax.map(ck(one), (fs_feats, f_s, rngs))
 
     def _loss_mmn(self, head_vars, parts, episode, rng, det=False):
         cfg = self.cfg

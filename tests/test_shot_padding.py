@@ -247,6 +247,16 @@ def test_scanned_shot_readout_equals_batched():
                                rtol=1e-6, atol=1e-7)
     engine.cfg.shot_native = False
 
+    # shot_remat=False drops the per-shot checkpoint (memory-for-recompute
+    # dial); the forward values are identical ops, so exactly equal
+    engine.cfg.shot_remat = False
+    noremat = engine._mmn_att_shots(
+        {"params": trainables}, parts["fq_feats"], parts["fs_feats"],
+        parts["f_q"], parts["f_s"], rng, det=True)
+    np.testing.assert_allclose(np.asarray(noremat), np.asarray(scanned),
+                               rtol=0, atol=0)
+    engine.cfg.shot_remat = True
+
 
 def test_eval_split_prologue_equals_sequential():
     """eval_metrics_batch with the vmapped prologue == the all-sequential
