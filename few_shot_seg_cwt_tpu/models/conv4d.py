@@ -388,23 +388,29 @@ def conv4d_im2col_mode() -> str:
       one MXU-perfect ``(taps, P) x (P, taps)`` contraction instead of the
       k0*k1-step scanned kernel-grad, and the compile-pathological conv
       kernel-grad emitter is out of the program entirely);
-    * unset/``"0"``: the shifted-conv3d loop (the round-4 default).
+    * ``"0"``/``"loop"``: the shifted-conv3d loop (the round-4 default).
 
-    Opt-in until the end-to-end A/B is recorded in BENCH.md (the HWNC
-    lesson: no layout default flips without an on-chip A/B). Read at TRACE
-    time; not part of any jit cache key.
+    ``"q"`` is the DEFAULT (unset): the round-5 on-chip end-to-end A/B
+    (BENCH.md "CHM conv4d route matrix") measured the chm train step at
+    4.326 eps/s fp32 / 4.218 amp on ``q`` vs 2.414 / 2.269 on the loop
+    route (+79%, +1.75 GB, compile 159 s -> 97 s); ``qp`` and ``gemm``
+    drown their MXU-fill win in im2col buffer bandwidth (2.12 / 1.64
+    fp32) and stay opt-in probes. Read at TRACE time; not part of any
+    jit cache key — set before the first jitted compile.
     """
     import os
 
-    v = os.environ.get("FSS_CONV4D_IM2COL", "0")
-    if v in ("", "0"):
+    v = os.environ.get("FSS_CONV4D_IM2COL", "q")
+    if v == "":
+        v = "q"
+    if v in ("0", "loop"):
         return "loop"
     if v in ("1", "qp"):
         return "qp"
     if v in ("q", "gemm"):
         return v
-    raise ValueError(f"FSS_CONV4D_IM2COL must be '', '0', '1', 'qp', 'q' or "
-                     f"'gemm', got {v!r}")
+    raise ValueError(f"FSS_CONV4D_IM2COL must be '', '0', 'loop', '1', "
+                     f"'qp', 'q' or 'gemm', got {v!r}")
 
 
 def _conv4d_fwd_im2col(x: jnp.ndarray, kernel: jnp.ndarray,

@@ -32,7 +32,7 @@ def test_im2col_matches_loop(monkeypatch, mode, shape, ksz):
     x = jnp.asarray(r.normal(0, 1.0, shape), jnp.float32)
     k = jnp.asarray(r.normal(0, 0.2, ksz + (shape[-1], 2)), jnp.float32)
 
-    monkeypatch.delenv("FSS_CONV4D_IM2COL", raising=False)
+    monkeypatch.setenv("FSS_CONV4D_IM2COL", "0")
     assert conv4d_im2col_mode() == "loop"
     (l0, o0), g0 = jax.value_and_grad(_loss, argnums=(0, 1),
                                       has_aux=True)(x, k)
@@ -51,9 +51,13 @@ def test_im2col_matches_loop(monkeypatch, mode, shape, ksz):
 
 
 def test_mode_parse(monkeypatch):
+    monkeypatch.delenv("FSS_CONV4D_IM2COL", raising=False)
+    assert conv4d_im2col_mode() == "q"    # round-5 default (BENCH.md A/B)
     monkeypatch.setenv("FSS_CONV4D_IM2COL", "1")
     assert conv4d_im2col_mode() == "qp"
     monkeypatch.setenv("FSS_CONV4D_IM2COL", "0")
+    assert conv4d_im2col_mode() == "loop"
+    monkeypatch.setenv("FSS_CONV4D_IM2COL", "loop")
     assert conv4d_im2col_mode() == "loop"
     monkeypatch.setenv("FSS_CONV4D_IM2COL", "bogus")
     with pytest.raises(ValueError):
