@@ -106,10 +106,10 @@ def main() -> None:
     # alive for the backward pass (~0.5 GB/episode fp32) — default to a
     # batch that fits v5e HBM with headroom. Eval defaults are per-dtype
     # fit points (BENCH.md round-5 batch x dtype matrix): fp32 40
-    # (13.39 of 15.75 GB; 48 compiles ~0.3 GB past HBM), bf16 56
-    # (12.12 GB, 134.0 eps/s vs 129.1 at 40)
+    # (13.39 of 15.75 GB; 48 compiles ~0.3 GB past HBM), bf16 64
+    # (13.80 GB, 134.8 eps/s — the measured top of the batch sweep)
     _dt_env = os.environ.get("BENCH_DTYPE", "float32")
-    _eval_default = "56" if _dt_env == "bfloat16" else "40"
+    _eval_default = "64" if _dt_env == "bfloat16" else "40"
     e_batch = int(os.environ.get("BENCH_EPISODE_BATCH",
                                  "4" if mode.startswith("head") else _eval_default))
     # 24 timed batches (~8s of device time at the protocol shape): with the

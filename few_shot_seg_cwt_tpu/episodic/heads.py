@@ -262,10 +262,12 @@ class HeadEngine:
         tile = int(self.cfg.get("shot_tile", 1) or 1)
         # shot_remat (default True) checkpoints each mapped shot, bounding
         # live activations to ONE shot's consensus stack at the price of one
-        # recomputed forward per shot in the backward (~26 ms/shot bf16 at
-        # 473px — the measured gap between the 5-shot per-shot cost and the
-        # 1-shot pipeline, BENCH.md round 5). False trades shot x activation
-        # memory for that recompute; it changes math not at all.
+        # recomputed forward per shot in the backward (~17 ms/shot bf16 at
+        # 473px — the measured 13% gap to linear 1-shot scaling, BENCH.md
+        # round-5 "5-shot memory/recompute matrix"). False trades shot x
+        # activation memory for that recompute — measured 23.2 GB at 473px
+        # 5-shot at ANY episode batch (the buffers are per-episode), i.e.
+        # it only fits at sub-protocol sizes; it changes math not at all.
         ck = (lambda f: jax.checkpoint(f)) \
             if self.cfg.get("shot_remat", True) else (lambda f: f)
         if tile > 1 and shot % tile == 0:
