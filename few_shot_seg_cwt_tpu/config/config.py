@@ -110,6 +110,13 @@ _DEFAULTS: Dict[str, Any] = {
                                # tensors stay rank-4 — no vmap/rank-5
                                # layouts, no per-shot remat recompute);
                                # costs shot x the volume activations
+    "shot_hoist_query": True,  # k-shot MMN: compute the shot-invariant
+                               # query-side rd/WeightAverage prep ONCE
+                               # outside the per-shot scan (vs 2 x shot
+                               # applies under the shot checkpoint). Exact
+                               # in deterministic mode; in training the
+                               # query branch shares one dropout draw
+                               # across shots (reference redraws per shot)
     "shot_remat": True,        # checkpoint each mapped shot (activations
                                # bounded to one shot; one recomputed fwd
                                # per shot in the bwd). False: memory x shot

@@ -226,16 +226,39 @@ class HeadEngine:
         (h,w,hs,ws,10) correlation-volume activations to ONE shot's worth.
         """
 
-        def apply_one(fs_feats_k, f_s_k, rng_k):
+        def apply_one(fs_feats_k, f_s_k, rng_k, fq_prepped=None):
             _, _, att = self.head.apply(
                 head_vars, fq_feats, fs_feats_k, f_q, f_s_k, ret_shots=True,
                 deterministic=det, rngs=None if det else {"dropout": rng_k},
+                fq_prepped=fq_prepped,
             )
             return att
 
         shot = f_s.shape[0]
         if shot == 1:
             return apply_one(fs_feats, f_s, rng)
+
+        # shot_hoist_query (default True): the query-side rd/WeightAverage
+        # prep does not depend on the shot — compute it ONCE outside the
+        # per-shot map instead of 2 x shot times (forward + checkpoint
+        # recompute). Math is identical in deterministic mode (tested);
+        # in training the query branch draws ONE shared dropout mask
+        # instead of the reference's per-shot redraws
+        # (src/train_kshot.py:159-180 re-runs the whole model per shot) —
+        # same expectation, different noise correlation. Measured +13%
+        # on the 5-shot amp train step (1.348 -> 1.529 eps/s, closing the
+        # round-5 gap to linear 1-shot scaling; BENCH.md round-5
+        # "5-shot query-prep hoist"). Set shot_hoist_query False for the
+        # reference's exact per-shot dropout draws.
+        fq_prepped = None
+        if (self.cfg.get("shot_hoist_query", True)
+                and hasattr(type(self.head), "prep_query")):
+            rng_prep, rng = (None, rng) if det else jax.random.split(rng)
+            fq_prepped = self.head.apply(
+                head_vars, fq_feats, deterministic=det,
+                rngs=None if det else {"dropout": rng_prep},
+                method="prep_query",
+            )
 
         # shot_native: run every shot through ONE head apply — the rank-4
         # consensus route carries the shot axis as the conv batch dim B, so
@@ -245,12 +268,12 @@ class HeadEngine:
         # per shot) disappears. The price is shot x the consensus-stack
         # activation memory held for the backward.
         if self.cfg.get("shot_native", False):
-            return apply_one(fs_feats, f_s, rng)
+            return apply_one(fs_feats, f_s, rng, fq_prepped)
 
         def one(args):
             fs_k, f_s_k, rng_k = args
             return apply_one(jax.tree.map(lambda t: t[None], fs_k),
-                             f_s_k[None], rng_k)[0]
+                             f_s_k[None], rng_k, fq_prepped)[0]
 
         rngs = jax.random.split(rng, shot)
         # shot_tile > 1 processes the scan in vmapped CHUNKS of that many

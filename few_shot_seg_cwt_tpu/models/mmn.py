@@ -87,6 +87,26 @@ class MMN(nn.Module):
             out.extend((bid, f) for f in chosen)
         return out
 
+    def prep_query(self, fq_feats: Dict, deterministic: bool = True) -> List:
+        """Query-side per-layer prep (rd conv + WeightAverage), shot-free.
+
+        Returns the processed query feature per selected layer, in
+        ``_selected`` order — the exact tensors ``__call__`` computes on its
+        query branch. The k-shot scan hoists this out of the per-shot body
+        (episodic/heads.py _mmn_att_shots): the query features do not depend
+        on the shot, so with a per-shot ``lax.map`` + ``jax.checkpoint`` the
+        stage-3/4 WeightAverage (~75 GFLOP at 60x60) would otherwise run
+        2 x shot times (forward + remat recompute) instead of once.
+        """
+        out = []
+        for bid, fq_fea in self._selected(fq_feats):
+            if self.red_dim:
+                fq_fea = nn.relu(self.rd[str(bid)](fq_fea))
+            if self.wa:
+                fq_fea = self.wa_mods[str(bid)](fq_fea, deterministic=deterministic)
+            out.append(fq_fea)
+        return out
+
     def __call__(
         self,
         fq_feats: Dict,          # {stage: [block feats (1, h', w', C)]} query
@@ -96,18 +116,28 @@ class MMN(nn.Module):
         ret_attn: bool = False,
         ret_shots: bool = False,
         deterministic: bool = True,
+        fq_prepped: Optional[List] = None,  # prep_query output (hoisted)
     ):
         shot, h, w, _ = f_s.shape
         corr_ch: List[jnp.ndarray] = []
-        for (bid, fq_fea), (_, fs_fea) in zip(
+        for i, ((bid, fq_fea), (_, fs_fea)) in enumerate(zip(
             self._selected(fq_feats), self._selected(fs_feats)
-        ):
-            fq_fea = jnp.broadcast_to(fq_fea, (shot,) + fq_fea.shape[1:])
+        )):
+            if fq_prepped is not None:
+                # query branch already processed (one shared dropout draw
+                # when not deterministic — see prep_query / _mmn_att_shots)
+                fq_fea = jnp.broadcast_to(
+                    fq_prepped[i], (shot,) + fq_prepped[i].shape[1:])
+            else:
+                fq_fea = jnp.broadcast_to(fq_fea, (shot,) + fq_fea.shape[1:])
+                if self.red_dim:
+                    fq_fea = nn.relu(self.rd[str(bid)](fq_fea))
+                if self.wa:
+                    fq_fea = self.wa_mods[str(bid)](
+                        fq_fea, deterministic=deterministic)
             if self.red_dim:
-                fq_fea = nn.relu(self.rd[str(bid)](fq_fea))
                 fs_fea = nn.relu(self.rd[str(bid)](fs_fea))
             if self.wa:
-                fq_fea = self.wa_mods[str(bid)](fq_fea, deterministic=deterministic)
                 fs_fea = self.wa_mods[str(bid)](fs_fea, deterministic=deterministic)
             corr_ch.append(get_corr(fq_fea, fs_fea))      # (shot, Nq, Ns)
 

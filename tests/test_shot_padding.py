@@ -208,6 +208,8 @@ def test_scanned_shot_readout_equals_batched():
     cfg.shot = 3
     cfg.rmid = "l34"
     cfg.att_wt = 0.2
+    cfg.wa = True   # give the query branch real prep work so the
+                    # shot_hoist_query path below is exercised, not a no-op
     engine = HeadEngine(cfg, "mmn")
     vars_b = init_backbone(cfg, engine)
     trainables = init_head_trainables(cfg, engine, vars_b)
@@ -256,6 +258,30 @@ def test_scanned_shot_readout_equals_batched():
     np.testing.assert_allclose(np.asarray(noremat), np.asarray(scanned),
                                rtol=0, atol=0)
     engine.cfg.shot_remat = True
+
+    # shot_hoist_query=False routes the query rd/WA prep back inside the
+    # per-shot body (the reference's per-shot recompute); deterministic
+    # outputs must match the hoisted default exactly — same ops, only
+    # where they run changes
+    engine.cfg.shot_hoist_query = False
+    unhoisted = engine._mmn_att_shots(
+        {"params": trainables}, parts["fq_feats"], parts["fs_feats"],
+        parts["f_q"], parts["f_s"], rng, det=True)
+    np.testing.assert_allclose(np.asarray(unhoisted), np.asarray(scanned),
+                               rtol=2e-6, atol=2e-7)
+
+    # grads through the hoisted prep (a value the checkpointed scan body
+    # CLOSES OVER, not an explicit arg) must equal the in-body ones — this
+    # is the jax.checkpoint-closure path the hoist leans on
+    def s(hoist):
+        engine.cfg.shot_hoist_query = hoist
+        return jax.grad(lambda tv: jnp.sum(engine._mmn_att_shots(
+            {"params": tv}, parts["fq_feats"], parts["fs_feats"],
+            parts["f_q"], parts["f_s"], rng, det=True)))(trainables)
+    g_hoist, g_flat = s(True), s(False)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6), g_hoist, g_flat)
+    engine.cfg.shot_hoist_query = True
 
 
 def test_eval_split_prologue_equals_sequential():
